@@ -1,0 +1,165 @@
+"""Data-layer tests: TFRecord framing, Example codec, vocab mapping,
+batch assembly — verified against hand-decoded JD demo records
+(the de-facto contract of reference data_feed/tfrecord_mask.py:23-84)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cikm2020_dmt_tpu.data import tfrecord
+from cikm2020_dmt_tpu.data.example import encode_example, parse_example
+from cikm2020_dmt_tpu.data.pipeline import (
+    IDS, LEN, WTS, BatchAssembler, batch_stream, expand_files, prefetch)
+from cikm2020_dmt_tpu.data.schema import FeatureSchema
+from cikm2020_dmt_tpu.data.vocab import Vocab, VocabSet, fnv1a64, load_id_table_file
+
+from conftest import DEMO_DATA, IDTABLES, needs_demo_data, make_demo_config
+
+
+class TestTFRecord:
+    def test_roundtrip(self, tmp_path):
+        path = str(tmp_path / "x.tfrecord")
+        recs = [b"hello", b"", b"\x00" * 1000, b"world" * 99]
+        assert tfrecord.write_records(path, recs) == 4
+        got = list(tfrecord.read_records(path, verify_crc=True))
+        assert got == recs
+
+    def test_crc32c_known_vector(self):
+        # RFC 3720 test vector: crc32c of 32 zero bytes
+        assert tfrecord.crc32c(b"\x00" * 32) == 0x8A9136AA
+
+    @needs_demo_data
+    def test_reads_reference_shards(self, demo_files):
+        n = 0
+        for rec in tfrecord.read_records(demo_files[0], verify_crc=True):
+            assert len(rec) > 100
+            n += 1
+            if n >= 50:
+                break
+        assert n == 50
+
+
+class TestExampleCodec:
+    def test_roundtrip(self):
+        feats = {
+            "ids": [b"a", b"bb", b"unknow"],
+            "wts": [1.0, 2.5, 0.125],
+            "cnt": [3, -7, 1 << 40],
+        }
+        payload = encode_example(feats)
+        got = parse_example(payload)
+        assert got["ids"] == feats["ids"]
+        assert got["wts"] == pytest.approx(feats["wts"])
+        assert got["cnt"] == feats["cnt"]
+
+    def test_selective_parse(self):
+        payload = encode_example({"a": [1.0], "b": [2.0], "c": [b"x"]})
+        got = parse_example(payload, frozenset({b"b"}))
+        assert set(got) == {"b"}
+
+    @needs_demo_data
+    def test_demo_record_contract(self, demo_files):
+        """The parsed demo record must match the schema the reference's
+        parse_single_line expects (tfrecord_mask.py:24-29)."""
+        rec = next(tfrecord.read_records(demo_files[0]))
+        ex = parse_example(rec)
+        assert len(ex["features"]) == 615
+        assert len(ex["mask"]) == 5
+        assert len(ex["label"]) == 1
+        assert len(ex["header"][0].split(b"\t")) == 13
+        assert len(ex["clk_seq_sku_7d_50"]) <= 50
+        assert len(ex["clk_seq_sku_7d_50"]) == len(ex["clk_seq_sku_7d_50Wts"])
+        # mask is the one-hot of label over classes [0,1,2,4,5]
+        label = ex["label"][0]
+        onehot = np.asarray(ex["mask"])
+        assert onehot.sum() == 1.0
+        labels = [0, 1, 2, 4, 5]
+        assert labels[int(np.argmax(onehot))] == int(label)
+
+
+class TestVocab:
+    def test_in_vocab(self):
+        v = Vocab("T", 10, ["unknow", "a", "b"])
+        assert v.lookup_one(b"unknow") == 0
+        assert v.lookup_one(b"a") == 1
+        assert v.lookup_one(b"b") == 2
+
+    def test_oov_buckets(self):
+        v = Vocab("T", 10, ["unknow", "a", "b"])  # 7 OOV buckets
+        idx = v.lookup_one(b"zzz")
+        assert 3 <= idx < 10
+        assert idx == 3 + fnv1a64(b"zzz") % 7  # deterministic
+        assert v.lookup_one(b"zzz") == idx
+
+    def test_no_oov_buckets_defaults_to_zero(self):
+        v = Vocab("T", 3, ["unknow", "a", "b"])
+        assert v.lookup_one(b"zzz") == 0  # reference default_value=0
+
+    def test_pure_hashing_without_vocab(self):
+        v = Vocab("Sku", 1000, None)
+        idx = v.lookup_one(b"42694196051")
+        assert 0 <= idx < 1000
+        assert idx == fnv1a64(b"42694196051") % 1000
+
+    @pytest.mark.skipif(not os.path.isdir(IDTABLES), reason="no idtables")
+    def test_reference_idtable(self):
+        vocab = load_id_table_file(os.path.join(IDTABLES, "Cid2.py"), "Cid2")
+        assert vocab[0] == "unknow"
+        assert vocab[1] == "13362"
+        v = Vocab("Cid2", 500, vocab)
+        assert v.lookup_one(b"unknow") == 0
+        assert v.lookup_one(b"13362") == 1
+
+
+@needs_demo_data
+class TestBatchAssembly:
+    def test_shapes_and_masks(self, demo_config):
+        cfg = demo_config
+        schema = FeatureSchema.from_config(cfg)
+        batches = batch_stream(cfg, DEMO_DATA, batch_size=16, epochs=1)
+        batch = next(batches)
+        assert batch["features"].shape == (16, 615)
+        assert batch["mask"].shape == (16, 5)
+        assert batch["valid"].sum() == 16
+        assert batch["clk_seq_sku_7d_50" + IDS].shape == (16, 50)
+        assert batch["ord_seq_sku_12m_10" + IDS].shape == (16, 10)
+        assert batch["item_fea_sku" + IDS].shape == (16, 1)
+        # padding invariant: wts zero beyond len
+        lens = batch["clk_seq_sku_7d_50" + LEN]
+        wts = batch["clk_seq_sku_7d_50" + WTS]
+        for i in range(16):
+            assert (wts[i, lens[i]:] == 0).all()
+            assert (wts[i, :lens[i]] > 0).all()
+        # header-derived propensity features (tfrecord_mask.py:63-81)
+        assert (batch["em_position"] <= 400).all()
+        assert (batch["em_page"] <= 100).all()
+        assert (batch["propensity_weight"] >= 1.0).all()
+        assert (batch["propensity_weight"] <= 10.0).all()
+        assert len(batch.headers) == 16
+
+    def test_pad_remainder(self, demo_config):
+        cfg = demo_config
+        # read a small file slice: batch bigger than record count in 1 batch
+        stream = batch_stream(cfg, DEMO_DATA, batch_size=7, epochs=1,
+                              drop_remainder=False)
+        first = next(stream)
+        assert first["valid"].sum() == 7
+        # drain to reach final partial batch
+        last = first
+        for last in stream:
+            pass
+        assert last.size == 7
+        assert last["valid"].sum() <= 7
+
+    def test_prefetch_matches_direct(self, demo_config):
+        cfg = demo_config
+        direct = [b["label"] for b in batch_stream(cfg, DEMO_DATA, 8, epochs=1)]
+        fetched = [b["label"] for b in prefetch(batch_stream(cfg, DEMO_DATA, 8, epochs=1))]
+        assert len(direct) == len(fetched)
+        np.testing.assert_array_equal(direct[0], fetched[0])
+
+    def test_expand_files(self):
+        files = expand_files(DEMO_DATA)
+        assert len(files) == 2
+        assert all("part-r-" in f for f in files)
