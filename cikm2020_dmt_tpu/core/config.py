@@ -258,7 +258,7 @@ class DMTConfig:
     # ---- TPU-native additions ----
     seed: int = 131
     param_dtype: str = "float32"
-    compute_dtype: str = "bfloat16"   # MXU-friendly activations
+    compute_dtype: str = "float32"    # "bfloat16" for MXU-friendly activations
     # embedding tables with at least this many rows are row-sharded over the
     # "model" mesh axis; smaller tables are replicated
     shard_rows_threshold: int = 100_000

@@ -97,6 +97,11 @@ class BatchAssembler:
         self.propensity = propensity or PropensityModel(cfg.propensity_em_type)
         self.pos_field = schema.header_index.get("pos", 4)
         self.page_field = schema.header_index.get("page", 11)
+        # Timestamp sequences carry raw time deltas that the model
+        # log2-bucketizes on device (nn/embedding.py:ts_bucketize); they
+        # bypass vocab mapping (intended semantics of the reference's
+        # Time* tables, SURVEY.md §2.4.8).
+        self.ts_features = set(cfg.attention_ts)
 
     def assemble(self, examples: list[dict], target_size: int | None = None) -> Batch:
         n = len(examples)
@@ -140,11 +145,15 @@ class BatchAssembler:
                 vals = ex.get(f.name)
                 if not vals:
                     continue
-                vocab = self.vocabs.by_feature[f.name]
                 k = min(len(vals), f.max_len)
                 ids_row = a[f.name + IDS][i]
-                for j in range(k):
-                    ids_row[j] = vocab.lookup_one(vals[j])
+                if f.name in self.ts_features:
+                    for j in range(k):
+                        ids_row[j] = min(_to_int(vals[j]), 2**31 - 1)
+                else:
+                    vocab = self.vocabs.by_feature[f.name]
+                    for j in range(k):
+                        ids_row[j] = vocab.lookup_one(vals[j])
                 wts = ex.get(f.name + "Wts")
                 if wts:
                     a[f.name + WTS][i, :k] = wts[:k]

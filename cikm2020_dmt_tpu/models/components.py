@@ -1,0 +1,297 @@
+"""Shared model components: feature combiner, sequence machinery, MMoE,
+task towers, bias net.
+
+These are the building blocks the reference duplicates across its model
+files (base.embedding_combiner, generate_data/trans_core in
+transformer.py / multi_task_transformer.py / mmoe_transformer*.py,
+expert_gate/build_tower in mmoe*.py) — implemented once here and composed
+by the zoo in models/zoo.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import DMTConfig
+from ..data.pipeline import IDS, LEN, WTS
+from ..data.schema import FeatureSchema
+from ..nn.embedding import (collection_init, pooled_lookup, presence_mask,
+                            seq_lookup, ts_bucketize)
+from ..nn.layers import (Params, State, dense_apply, dense_init,
+                         dropout_rate, glorot_uniform, mlp_apply, mlp_init)
+from ..nn.transformer import encode_decode, transformer_init
+
+
+def _split(rng, n):
+    return list(jax.random.split(rng, n))
+
+
+# ---------------------------------------------------------------------------
+# Pooled feature combiner (reference base.py:93-134)
+# ---------------------------------------------------------------------------
+
+
+def combiner_dim(cfg: DMTConfig, skip_seq: bool = False) -> int:
+    dim = cfg.feature_dimension if cfg.is_use_feature else 0
+    skip = _attention_user_features(cfg) if skip_seq else frozenset()
+    for spec in cfg.embeddings:
+        if spec.feature in skip:
+            continue
+        dim += spec.dim
+    for a, b in cfg.sim_embed:
+        spec = next(s for s in cfg.embeddings if s.feature == a)
+        dim += 2 + 2 * spec.dim  # inner + cosine + |diff| + diff^2
+    return dim
+
+
+def _attention_user_features(cfg: DMTConfig) -> frozenset[str]:
+    return frozenset(
+        user for group in cfg.attention_pairs for user, _ in group)
+
+
+def embedding_combiner(emb: Params, batch: dict, cfg: DMTConfig, *,
+                       skip_seq: bool = False) -> jnp.ndarray:
+    """[dense features ∥ mean-pooled embedding per spec ∥ sim crosses].
+
+    ``skip_seq`` reproduces the single-sequence transformer model's
+    override that excludes attention-pair user features from pooling
+    (reference transformer.py:171-220).
+    """
+    parts = []
+    if cfg.is_use_feature:
+        parts.append(batch["features"])
+    skip = _attention_user_features(cfg) if skip_seq else frozenset()
+    ts_feats = frozenset(cfg.attention_ts)
+    sim_pool: dict[str, jnp.ndarray] = {}
+    sim_wanted = frozenset(x for pair in cfg.sim_embed for x in pair)
+    for spec in cfg.embeddings:
+        if spec.feature in skip:
+            continue
+        ids = batch[spec.feature + IDS]
+        if spec.feature in ts_feats:
+            ids = ts_bucketize(ids, emb[spec.table].shape[0])
+        pooled = pooled_lookup(
+            emb[spec.table], ids,
+            batch[spec.feature + WTS], batch[spec.feature + LEN])
+        if spec.feature in sim_wanted:
+            sim_pool[spec.feature] = pooled
+        parts.append(pooled)
+    out = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+    # similarity crosses (reference base.py:126-132)
+    for a, b in cfg.sim_embed:
+        ea, eb = sim_pool[a], sim_pool[b]
+        inner = jnp.sum(ea * eb, axis=1, keepdims=True)
+        norms = jnp.linalg.norm(ea, axis=1) * jnp.linalg.norm(eb, axis=1)
+        cosine = inner / jnp.maximum(norms[:, None], 1e-12)
+        diff = jnp.abs(ea - eb)
+        out = jnp.concatenate([out, inner, cosine, diff, diff * diff], axis=-1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Behavior sequences -> interest states (reference generate_data + trans_core)
+# ---------------------------------------------------------------------------
+
+
+def seq_input_dim(cfg: DMTConfig, group_idx: int) -> int:
+    spec_of = {s.feature: s for s in cfg.embeddings}
+    return sum(spec_of[u].dim for u, _ in cfg.attention_pairs[group_idx])
+
+
+def ts_dim_of(cfg: DMTConfig, group_idx: int) -> int:
+    if not cfg.is_use_seq_ts or group_idx >= len(cfg.attention_ts):
+        return 0
+    spec_of = {s.feature: s for s in cfg.embeddings}
+    spec = spec_of.get(cfg.attention_ts[group_idx])
+    return spec.dim if spec else 0
+
+
+def interest_dim(cfg: DMTConfig) -> int:
+    tc = cfg.transformer
+    per = tc.d_model
+    if tc.is_trans_out_concat_item and not tc.is_trans_out_by_mlp:
+        per = tc.d_model + (tc.d_model if tc.is_trans_input_by_mlp
+                            else seq_input_dim(cfg, 0))
+    return per * len(cfg.attention_pairs)
+
+
+def sequences_init(rng, cfg: DMTConfig, dtype=jnp.float32) -> Params:
+    tc = cfg.transformer
+    keys = _split(rng, max(1, len(cfg.attention_pairs)))
+    return {
+        f"seq{i}": transformer_init(
+            keys[i], tc, ts_dim=ts_dim_of(cfg, i),
+            in_dim=seq_input_dim(cfg, i), dtype=dtype)
+        for i in range(len(cfg.attention_pairs))
+    }
+
+
+def sequence_interest(params: Params, emb: Params, batch: dict,
+                      cfg: DMTConfig, *, train: bool,
+                      rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Concat of per-sequence user interest states [B, n_seq * d].
+
+    Mirrors generate_data (mask/lens from the sequence feature, concat of
+    per-id-space embeddings with zero_pad, ts embedding) + trans_core
+    (reference mmoe_transformer_unbias.py:130-223).
+    """
+    spec_of = {s.feature: s for s in cfg.embeddings}
+    tc = cfg.transformer
+    states = []
+    keys = _split(rng, len(cfg.attention_pairs)) if rng is not None \
+        else [None] * len(cfg.attention_pairs)
+    for gi, group in enumerate(cfg.attention_pairs):
+        first_user = group[0][0]
+        wts = batch[first_user + WTS]
+        lens = batch[first_user + LEN]
+        mask = presence_mask(wts, lens)
+
+        seq_parts, tar_parts = [], []
+        for user_feat, item_feat in group:
+            uspec = spec_of[user_feat]
+            ispec = spec_of[item_feat]
+            seq_parts.append(seq_lookup(
+                emb[uspec.table], batch[user_feat + IDS], cfg.zero_pad))
+            tar = seq_lookup(
+                emb[ispec.table], batch[item_feat + IDS], cfg.zero_pad)
+            tar_parts.append(tar[:, 0, :])  # single-id item feature
+        seq_emb = jnp.concatenate(seq_parts, axis=-1)      # [B, L, 80]
+        tar_emb = jnp.concatenate(tar_parts, axis=-1)      # [B, 80]
+
+        ts_emb = None
+        if cfg.is_use_seq_ts and gi < len(cfg.attention_ts):
+            ts_feat = cfg.attention_ts[gi]
+            tspec = spec_of.get(ts_feat)
+            if tspec is not None:
+                buckets = ts_bucketize(batch[ts_feat + IDS],
+                                       emb[tspec.table].shape[0])
+                ts_emb = seq_lookup(emb[tspec.table], buckets, cfg.zero_pad)
+
+        p = params[f"seq{gi}"]
+        if tc.is_trans_input_by_mlp:
+            seq_emb = dense_apply(p["in_seq"], seq_emb)
+            tar_in = dense_apply(p["in_tar"], tar_emb)
+        else:
+            tar_in = tar_emb
+        state = encode_decode(
+            p, tc, seq_emb=seq_emb, seq_mask=mask, tar_emb=tar_in,
+            ts_emb=ts_emb, train=train, rng=keys[gi])
+        # trans_core output composition (reference *_transformer*.py)
+        if tc.is_trans_out_concat_item:
+            state = jnp.concatenate([state, tar_in], axis=-1)
+            if tc.is_trans_out_by_mlp:
+                state = dense_apply(p["out_proj"], state)
+        states.append(state)
+    return jnp.concatenate(states, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# MMoE (reference mmoe.py:53-118 / mmoe_transformer_unbias.py:63-126)
+# ---------------------------------------------------------------------------
+
+
+def mmoe_init(rng, in_dim: int, cfg: DMTConfig, num_tasks: int = 2,
+              dtype=jnp.float32) -> tuple[Params, State]:
+    keys = _split(rng, cfg.num_experts + num_tasks)
+    params: Params = {"experts": [], "gates": []}
+    state: State = {"experts": []}
+    for e in range(cfg.num_experts):
+        p, st = mlp_init(keys[e], in_dim, cfg.hidden_units_bottom, None,
+                         is_bn=cfg.is_bn, dtype=dtype)
+        params["experts"].append(p)
+        state["experts"].append(st)
+    for t in range(num_tasks):
+        params["gates"].append(dense_init(
+            keys[cfg.num_experts + t], in_dim, cfg.num_experts,
+            bias_init=0.1, dtype=dtype))
+    if not cfg.is_bn:
+        state = {}
+    return params, state
+
+
+def mmoe_apply(params: Params, state: State, x: jnp.ndarray, cfg: DMTConfig,
+               *, train: bool, rng: Optional[jax.Array] = None
+               ) -> tuple[list[jnp.ndarray], State]:
+    """Per-task mixture outputs [B, hidden_bottom[-1]] x num_tasks."""
+    n_exp = len(params["experts"])
+    keys = _split(rng, n_exp) if rng is not None else [None] * n_exp
+    expert_outs, new_state = [], {"experts": []}
+    est = state.get("experts", [{}] * n_exp)
+    for e, p in enumerate(params["experts"]):
+        y, st = mlp_apply(p, est[e], x, keep_probs=cfg.dropout_bottom,
+                          train=train, is_bn=cfg.is_bn,
+                          is_dropout=cfg.is_dropout, bn_decay=cfg.bn_decay,
+                          rng=keys[e])
+        expert_outs.append(y)
+        new_state["experts"].append(st)
+    experts = jnp.stack(expert_outs, axis=-1)             # [B, H, E]
+    outs = []
+    for gate in params["gates"]:
+        g = jax.nn.softmax(dense_apply(gate, x), axis=-1)  # [B, E]
+        outs.append(jnp.einsum("bhe,be->bh", experts, g))
+    if not cfg.is_bn:
+        new_state = {}
+    return outs, new_state
+
+
+def tower_init(rng, in_dim: int, cfg: DMTConfig, dtype=jnp.float32
+               ) -> tuple[Params, State]:
+    """Task tower: hidden_units_task relu + 1-unit output, bias 0.1
+    (reference build_tower, mmoe_transformer_unbias.py:107-126)."""
+    return mlp_init(rng, in_dim, cfg.hidden_units_task, cfg.output_units,
+                    is_bn=cfg.is_bn, out_bias_init=0.1, dtype=dtype)
+
+
+def tower_apply(params: Params, state: State, x: jnp.ndarray, cfg: DMTConfig,
+                *, train: bool, rng=None) -> tuple[jnp.ndarray, State]:
+    return mlp_apply(params, state, x, keep_probs=cfg.dropout_task,
+                     train=train, is_bn=cfg.is_bn, is_dropout=cfg.is_dropout,
+                     bn_decay=cfg.bn_decay, rng=rng)
+
+
+# ---------------------------------------------------------------------------
+# Bias Deep Neural Network (reference mmoe_transformer_unbias.py:235-289)
+# ---------------------------------------------------------------------------
+
+
+def bias_combiner_dim(cfg: DMTConfig) -> int:
+    return sum(s.dim for s in cfg.embeddings_bias)
+
+
+def bias_net_init(rng, cfg: DMTConfig, dtype=jnp.float32) -> Params:
+    ek, mk = jax.random.split(rng)
+    g = glorot_uniform()
+    mlp, _ = mlp_init(mk, bias_combiner_dim(cfg), cfg.hidden_units_bias,
+                      cfg.output_units, out_bias_init=0.0,
+                      hidden_bias_init=0.0, w_init=g, dtype=dtype)
+    return {"emb": collection_init(ek, cfg.embeddings_bias, dtype),
+            "mlp": mlp}
+
+
+def bias_net_apply(params: Params, batch: dict, cfg: DMTConfig, *,
+                   train: bool, rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Bias logit from position/neighbor-exposure embeddings.
+
+    The bias MLP uses tf.layers-style dropout (always active in training,
+    rate semantics) unlike the towers' keep-prob dropout — reference
+    mmoe_transformer_unbias.py:259-289.
+    """
+    emb = params["emb"]
+    parts = []
+    for spec in cfg.embeddings_bias:
+        parts.append(pooled_lookup(
+            emb[spec.table], batch[spec.feature + IDS],
+            batch[spec.feature + WTS], batch[spec.feature + LEN]))
+    y = jnp.concatenate(parts, axis=-1)
+    p = params["mlp"]
+    n = len(cfg.hidden_units_bias)
+    keys = _split(rng, n) if rng is not None else [None] * n
+    for i in range(n):
+        y = jax.nn.relu(dense_apply(p[f"layer{i}"]["dense"], y))
+        if train and keys[i] is not None and i < len(cfg.dropout_rate_bias):
+            y = dropout_rate(keys[i], y, cfg.dropout_rate_bias[i],
+                             deterministic=False)
+    return dense_apply(p["out"]["dense"], y)

@@ -1,0 +1,303 @@
+"""Model zoo: the DMT composition lattice.
+
+    mlp ⊂ embed_mlp ⊂ {multi_task, mmoe} ⊂ +transformer ⊂ +unbias
+
+Same model_type keys as the reference dispatch
+(reference model/inference_mlp.py:25-68); each model is a pair of pure
+functions (init -> params/state pytrees, apply -> logits) composed from
+models/components.py.
+
+Logit contracts (matching reference inference() returns):
+    single-task models:  y [B, 1]
+    multi-task models:   (click_logit, order_logit)
+    unbias (train):      ((click_logit, order_logit), bias_logit)
+    unbias (predict):    (click_logit, order_logit)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import DMTConfig
+from ..data.schema import FeatureSchema
+from ..nn.embedding import collection_init
+from ..nn.layers import Params, State, mlp_apply, mlp_init
+from .components import (bias_net_apply, bias_net_init, combiner_dim,
+                         embedding_combiner, interest_dim, mmoe_apply,
+                         mmoe_init, sequence_interest, sequences_init,
+                         tower_apply, tower_init)
+
+
+def _maybe_uncertainty(cfg: DMTConfig, params: Params) -> Params:
+    """Kendall uncertainty loss-weight variables (reference multi_task.py:124-128)."""
+    if cfg.loss_weight_method == "uncertainty":
+        params["uncertainty"] = {
+            "click_weight": jnp.zeros((1,), jnp.float32),
+            "order_weight": jnp.zeros((1,), jnp.float32),
+        }
+    return params
+
+
+class BaseModel:
+    name = "base"
+    num_tasks = 1
+
+    def __init__(self, cfg: DMTConfig, schema: Optional[FeatureSchema] = None):
+        self.cfg = cfg
+        self.schema = schema or FeatureSchema.from_config(cfg)
+        self.dtype = jnp.dtype(cfg.param_dtype)
+
+    def init(self, rng) -> tuple[Params, State]:
+        raise NotImplementedError
+
+    def apply(self, params, state, batch, *, train: bool,
+              rng=None, is_predict: bool = False):
+        raise NotImplementedError
+
+
+class MLP(BaseModel):
+    """Dense-features-only MLP, one logit (reference model/net/mlp.py)."""
+
+    name = "mlp"
+
+    def init(self, rng):
+        return mlp_init(rng, self.cfg.feature_dimension, self.cfg.hidden_units,
+                        self.cfg.output_units, is_bn=self.cfg.is_bn,
+                        out_bias_init=0.0, dtype=self.dtype)
+
+    def apply(self, params, state, batch, *, train, rng=None, is_predict=False):
+        return mlp_apply(params, state, batch["features"],
+                         keep_probs=self.cfg.dropout, train=train,
+                         is_bn=self.cfg.is_bn, is_dropout=self.cfg.is_dropout,
+                         bn_decay=self.cfg.bn_decay, rng=rng)
+
+
+class EmbedMLP(BaseModel):
+    """Pooled embeddings + dense -> MLP (reference model/net/embed_mlp.py)."""
+
+    name = "embed_mlp"
+
+    def init(self, rng):
+        ek, mk = jax.random.split(rng)
+        mlp, st = mlp_init(mk, combiner_dim(self.cfg), self.cfg.hidden_units,
+                           self.cfg.output_units, is_bn=self.cfg.is_bn,
+                           out_bias_init=0.0, dtype=self.dtype)
+        params = {"emb": collection_init(ek, self.cfg.embeddings, self.dtype),
+                  "mlp": mlp}
+        return params, ({"mlp": st} if st else {})
+
+    def apply(self, params, state, batch, *, train, rng=None, is_predict=False):
+        x = embedding_combiner(params["emb"], batch, self.cfg)
+        y, st = mlp_apply(params["mlp"], state.get("mlp", {}), x,
+                          keep_probs=self.cfg.dropout, train=train,
+                          is_bn=self.cfg.is_bn, is_dropout=self.cfg.is_dropout,
+                          bn_decay=self.cfg.bn_decay, rng=rng)
+        return y, ({"mlp": st} if st else {})
+
+
+class MultiTask(BaseModel):
+    """Shared-bottom two-task model (reference model/net/multi_task.py)."""
+
+    name = "multi_task"
+    num_tasks = 2
+    use_interest = False
+
+    def _input_dim(self) -> int:
+        dim = combiner_dim(self.cfg)
+        if self.use_interest:
+            dim += interest_dim(self.cfg)
+        return dim
+
+    def init(self, rng):
+        ek, bk, ck, ok, sk = jax.random.split(rng, 5)
+        cfg = self.cfg
+        params: Params = {"emb": collection_init(ek, cfg.embeddings, self.dtype)}
+        state: State = {}
+        if self.use_interest:
+            params["trans"] = sequences_init(sk, cfg, self.dtype)
+        bottom, st = mlp_init(bk, self._input_dim(), cfg.hidden_units_bottom,
+                              None, is_bn=cfg.is_bn, dtype=self.dtype)
+        params["bottom"] = bottom
+        if st:
+            state["bottom"] = st
+        head_in = cfg.hidden_units_bottom[-1]
+        # task towers: out bias 0.0 (reference multi_task.py:85-113)
+        params["click"], st_c = mlp_init(ck, head_in, cfg.hidden_units_task,
+                                         cfg.output_units, is_bn=cfg.is_bn,
+                                         out_bias_init=0.0, dtype=self.dtype)
+        params["order"], st_o = mlp_init(ok, head_in, cfg.hidden_units_task,
+                                         cfg.output_units, is_bn=cfg.is_bn,
+                                         out_bias_init=0.0, dtype=self.dtype)
+        if st_c:
+            state["click"], state["order"] = st_c, st_o
+        return _maybe_uncertainty(cfg, params), state
+
+    def apply(self, params, state, batch, *, train, rng=None, is_predict=False):
+        cfg = self.cfg
+        keys = jax.random.split(rng, 4) if rng is not None else [None] * 4
+        x = embedding_combiner(params["emb"], batch, cfg)
+        if self.use_interest:
+            interest = sequence_interest(params["trans"], params["emb"],
+                                         batch, cfg, train=train, rng=keys[3])
+            x = jnp.concatenate([x, interest], axis=-1)
+        new_state: State = {}
+        y, st = mlp_apply(params["bottom"], state.get("bottom", {}), x,
+                          keep_probs=cfg.dropout_bottom, train=train,
+                          is_bn=cfg.is_bn, is_dropout=cfg.is_dropout,
+                          bn_decay=cfg.bn_decay, rng=keys[0])
+        if st:
+            new_state["bottom"] = st
+        clk, st_c = tower_apply(params["click"], state.get("click", {}), y,
+                                cfg, train=train, rng=keys[1])
+        ordr, st_o = tower_apply(params["order"], state.get("order", {}), y,
+                                 cfg, train=train, rng=keys[2])
+        if st_c:
+            new_state["click"], new_state["order"] = st_c, st_o
+        return (clk, ordr), new_state
+
+
+class MMoE(BaseModel):
+    """Multi-gate mixture-of-experts (reference model/net/mmoe.py)."""
+
+    name = "mmoe"
+    num_tasks = 2
+    use_interest = False
+
+    def _input_dim(self) -> int:
+        dim = combiner_dim(self.cfg)
+        if self.use_interest:
+            dim += interest_dim(self.cfg)
+        return dim
+
+    def init(self, rng):
+        ek, mk, ck, ok, sk = jax.random.split(rng, 5)
+        cfg = self.cfg
+        params: Params = {"emb": collection_init(ek, cfg.embeddings, self.dtype)}
+        state: State = {}
+        if self.use_interest:
+            params["trans"] = sequences_init(sk, cfg, self.dtype)
+        params["mmoe"], st = mmoe_init(mk, self._input_dim(), cfg,
+                                       num_tasks=2, dtype=self.dtype)
+        if st:
+            state["mmoe"] = st
+        head_in = cfg.hidden_units_bottom[-1]
+        params["click"], st_c = tower_init(ck, head_in, cfg, self.dtype)
+        params["order"], st_o = tower_init(ok, head_in, cfg, self.dtype)
+        if st_c:
+            state["click"], state["order"] = st_c, st_o
+        return _maybe_uncertainty(cfg, params), state
+
+    def _trunk(self, params, state, batch, *, train, keys):
+        cfg = self.cfg
+        x = embedding_combiner(params["emb"], batch, cfg)
+        if self.use_interest:
+            interest = sequence_interest(params["trans"], params["emb"],
+                                         batch, cfg, train=train, rng=keys[3])
+            x = jnp.concatenate([x, interest], axis=-1)
+        new_state: State = {}
+        outs, st = mmoe_apply(params["mmoe"], state.get("mmoe", {}), x, cfg,
+                              train=train, rng=keys[0])
+        if st:
+            new_state["mmoe"] = st
+        clk, st_c = tower_apply(params["click"], state.get("click", {}),
+                                outs[0], cfg, train=train, rng=keys[1])
+        ordr, st_o = tower_apply(params["order"], state.get("order", {}),
+                                 outs[1], cfg, train=train, rng=keys[2])
+        if st_c:
+            new_state["click"], new_state["order"] = st_c, st_o
+        return (clk, ordr), new_state
+
+    def apply(self, params, state, batch, *, train, rng=None, is_predict=False):
+        keys = jax.random.split(rng, 4) if rng is not None else [None] * 4
+        return self._trunk(params, state, batch, train=train, keys=keys)
+
+
+class Transformer(BaseModel):
+    """Single-logit deep-interest transformer (reference model/net/transformer.py):
+    combiner skips sequence features; interest states concat to the MLP input."""
+
+    name = "transformer"
+
+    def init(self, rng):
+        ek, sk, mk = jax.random.split(rng, 3)
+        cfg = self.cfg
+        in_dim = combiner_dim(cfg, skip_seq=True) + interest_dim(cfg)
+        mlp, st = mlp_init(mk, in_dim, cfg.hidden_units, cfg.output_units,
+                           is_bn=cfg.is_bn, out_bias_init=0.0, dtype=self.dtype)
+        params = {"emb": collection_init(ek, cfg.embeddings, self.dtype),
+                  "trans": sequences_init(sk, cfg, self.dtype),
+                  "mlp": mlp}
+        return params, ({"mlp": st} if st else {})
+
+    def apply(self, params, state, batch, *, train, rng=None, is_predict=False):
+        cfg = self.cfg
+        keys = jax.random.split(rng, 2) if rng is not None else [None] * 2
+        x = embedding_combiner(params["emb"], batch, cfg, skip_seq=True)
+        interest = sequence_interest(params["trans"], params["emb"], batch,
+                                     cfg, train=train, rng=keys[1])
+        x = jnp.concatenate([x, interest], axis=-1)
+        y, st = mlp_apply(params["mlp"], state.get("mlp", {}), x,
+                          keep_probs=cfg.dropout, train=train,
+                          is_bn=cfg.is_bn, is_dropout=cfg.is_dropout,
+                          bn_decay=cfg.bn_decay, rng=keys[0])
+        return y, ({"mlp": st} if st else {})
+
+
+class MultiTaskTransformer(MultiTask):
+    """Shared bottom over [dense ∥ pooled ∥ interest]
+    (reference model/net/multi_task_transformer.py)."""
+
+    name = "multi_task_transformer"
+    use_interest = True
+
+
+class MMoETransformer(MMoE):
+    """MMoE over [dense ∥ pooled ∥ interest]
+    (reference model/net/mmoe_transformer.py)."""
+
+    name = "mmoe_transformer"
+    use_interest = True
+
+
+class MMoETransformerUnbias(MMoETransformer):
+    """Full DMT: MMoE transformer + Bias Deep Neural Network
+    (reference model/net/mmoe_transformer_unbias.py)."""
+
+    name = "mmoe_transformer_unbias"
+
+    def init(self, rng):
+        rk, bk = jax.random.split(rng)
+        params, state = super().init(rk)
+        params["bias_net"] = bias_net_init(bk, self.cfg, self.dtype)
+        return params, state
+
+    def apply(self, params, state, batch, *, train, rng=None, is_predict=False):
+        keys = jax.random.split(rng, 5) if rng is not None else [None] * 5
+        y_rel, new_state = self._trunk(params, state, batch, train=train,
+                                       keys=keys[:4])
+        if is_predict:
+            return y_rel, new_state
+        y_bias = bias_net_apply(params["bias_net"], batch, self.cfg,
+                                train=train, rng=keys[4])
+        return (y_rel, y_bias), new_state
+
+
+MODEL_REGISTRY = {
+    m.name: m for m in (
+        MLP, EmbedMLP, MultiTask, MMoE, Transformer,
+        MultiTaskTransformer, MMoETransformer, MMoETransformerUnbias)
+}
+
+
+def build_model(cfg: DMTConfig, schema: Optional[FeatureSchema] = None) -> BaseModel:
+    """Dispatch by model_type (reference inference_mlp.py:25-68)."""
+    try:
+        cls = MODEL_REGISTRY[cfg.model_type]
+    except KeyError:
+        raise ValueError(
+            f"unknown model_type {cfg.model_type!r}; "
+            f"available: {sorted(MODEL_REGISTRY)}") from None
+    return cls(cfg, schema)

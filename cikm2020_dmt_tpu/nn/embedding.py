@@ -1,0 +1,99 @@
+"""Embedding engine: shared tables, pooled lookups, sequence lookups.
+
+Replaces ``tf.nn.embedding_lookup_sparse`` over CPU-pinned variables
+(reference model/net/base.py:81-134) with gathers over device-resident
+tables.  Tables are plain arrays in the param tree; the sharded (row-split
+over the "model" mesh axis) lookup path lives in parallel/embedding_shard.py
+and reuses these same pure functions per shard.
+
+Semantics notes vs the reference:
+
+- Tables are shared by *table name within a collection*: the reference's
+  variable scoping puts the main tables under ``DnnModel/embedding_trans/``
+  and the bias-net tables at ``DnnModel/`` root, so ``Cid2`` (dim 8, main)
+  and ``Cid2`` (dim 5, bias) are distinct variables — hence two collections.
+- ``zero_pad``: the reference *prepends* a frozen zero row, shifting
+  sequence-path indices off by one from the pooled path (SURVEY.md §2.4.7).
+  We implement the intent instead: sequence lookups of index 0
+  ('unknow'/padding) return zeros; pooled lookups use the trainable row 0.
+- Mean pooling divides by the sum of *present* weights, exactly like
+  ``embedding_lookup_sparse(combiner="mean")``; empty rows give zeros.
+- Timestamp features are log2-bucketed on-device from the raw delta:
+  ``bucket = clip(floor(log2(ts)) + 1, 0, table_rows - 1)`` — the
+  reference's *intended* semantics (its shipped code vocab-maps the raw
+  timestamp first, which degenerates to bucket 0 for all real deltas,
+  SURVEY.md §2.4.8).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import EmbeddingSpec
+from .layers import Params, glorot_uniform
+
+
+def table_init(rng, rows: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    return glorot_uniform()(rng, (rows, dim), dtype)
+
+
+def collection_init(rng, specs: tuple[EmbeddingSpec, ...], dtype=jnp.float32) -> Params:
+    """One table per distinct table name (shared across features)."""
+    tables: Params = {}
+    names = []
+    for spec in specs:
+        if spec.table not in tables:
+            tables[spec.table] = (spec.id_size, spec.dim)
+            names.append(spec.table)
+    keys = jax.random.split(rng, max(1, len(names)))
+    return {
+        name: table_init(keys[i], *tables[name], dtype)
+        for i, name in enumerate(names)
+    }
+
+
+def presence_mask(wts: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
+    """[B, L] float mask of present positions from the length vector."""
+    L = wts.shape[-1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, wts.shape, wts.ndim - 1)
+    return (pos < lens[..., None]).astype(wts.dtype)
+
+
+def pooled_lookup(table: jnp.ndarray, ids: jnp.ndarray, wts: jnp.ndarray,
+                  lens: jnp.ndarray, combiner: str = "mean") -> jnp.ndarray:
+    """Weighted pool over present ids: [B, L] -> [B, D].
+
+    mean: sum_j w_j * E[id_j] / sum_j w_j   (lookup_sparse "mean")
+    sum:  sum_j w_j * E[id_j]               (lookup_sparse "sum")
+    """
+    mask = presence_mask(wts, lens)
+    w = wts * mask
+    emb = jnp.take(table, ids, axis=0)                    # [B, L, D]
+    weighted = jnp.einsum("bl,bld->bd", w.astype(emb.dtype), emb)
+    if combiner == "sum":
+        return weighted
+    denom = jnp.sum(w, axis=-1, keepdims=True).astype(emb.dtype)
+    return jnp.where(denom > 0, weighted / jnp.maximum(denom, 1e-12), 0.0)
+
+
+def seq_lookup(table: jnp.ndarray, ids: jnp.ndarray, zero_pad: bool) -> jnp.ndarray:
+    """Per-position lookup [B, L] -> [B, L, D]; zero_pad zeroes index-0 rows
+    (padding / 'unknow') as in the reference transformer path
+    (transformer.py:69-73 with base.py:87-89)."""
+    emb = jnp.take(table, ids, axis=0)
+    if zero_pad:
+        emb = jnp.where((ids > 0)[..., None], emb, 0.0)
+    return emb
+
+
+def ts_bucketize(raw_ts: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
+    """Raw time-delta -> log2 bucket in [0, num_buckets-1].
+
+    bucket 0 is reserved for ts<=0 / padding; deltas of 2^k land in
+    bucket k+1 (clipped), cf. reference transformer.py:87-91.
+    """
+    safe = jnp.maximum(raw_ts, 1).astype(jnp.float32)
+    bucket = jnp.floor(jnp.log2(safe)).astype(jnp.int32) + 1
+    bucket = jnp.where(raw_ts <= 0, 0, bucket)
+    return jnp.clip(bucket, 0, num_buckets - 1)

@@ -7,7 +7,11 @@ multi-host test strategy in SURVEY.md §4.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the container exports JAX_PLATFORMS=axon (real TPU); tests
+# must run on CPU with fake devices.  (When the axon chip claim is wedged,
+# prefix pytest with `env -u PALLAS_AXON_POOL_IPS` so interpreter startup
+# skips TPU registration entirely.)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

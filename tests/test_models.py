@@ -1,0 +1,119 @@
+"""Model-zoo tests: every model_type inits and runs forward on a real demo
+batch; logit contracts match the reference's inference() returns."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cikm2020_dmt_tpu.data.pipeline import batch_stream
+from cikm2020_dmt_tpu.models.components import (bias_combiner_dim,
+                                                combiner_dim, interest_dim)
+from cikm2020_dmt_tpu.models.zoo import MODEL_REGISTRY, build_model
+from cikm2020_dmt_tpu.train import losses
+
+from conftest import DEMO_DATA, needs_demo_data, make_demo_config
+
+B = 8
+
+
+@pytest.fixture(scope="module")
+def demo_batch():
+    cfg = make_demo_config()
+    batch = next(batch_stream(cfg, DEMO_DATA, batch_size=B, epochs=1))
+    return {k: jnp.asarray(v) for k, v in batch.arrays.items()}
+
+
+def _build(model_type, **overrides):
+    cfg = make_demo_config(model_type=model_type, **overrides)
+    return cfg, build_model(cfg)
+
+
+@needs_demo_data
+class TestZooForward:
+    @pytest.mark.parametrize("model_type", sorted(MODEL_REGISTRY))
+    def test_forward_shapes(self, model_type, demo_batch):
+        cfg, model = _build(model_type)
+        params, state = model.init(jax.random.PRNGKey(0))
+        out, _ = model.apply(params, state, demo_batch, train=False)
+        if model_type == "mmoe_transformer_unbias":
+            (clk, ordr), bias = out
+            assert clk.shape == (B, 1) and ordr.shape == (B, 1)
+            assert bias.shape == (B, 1)
+            assert np.isfinite(np.asarray(bias)).all()
+        elif model.num_tasks == 2:
+            clk, ordr = out
+            assert clk.shape == (B, 1) and ordr.shape == (B, 1)
+        else:
+            assert out.shape == (B, 1)
+            clk = out
+        assert np.isfinite(np.asarray(clk)).all()
+
+    def test_unbias_predict_mode_drops_bias_head(self, demo_batch):
+        cfg, model = _build("mmoe_transformer_unbias")
+        params, state = model.init(jax.random.PRNGKey(0))
+        out, _ = model.apply(params, state, demo_batch, train=False,
+                             is_predict=True)
+        clk, ordr = out  # rel-only pair, reference mmoe_transformer_unbias.py:312-316
+        assert clk.shape == (B, 1) and ordr.shape == (B, 1)
+
+    def test_train_mode_with_dropout_rng(self, demo_batch):
+        cfg, model = _build("mmoe_transformer_unbias")
+        params, state = model.init(jax.random.PRNGKey(0))
+        out1, _ = model.apply(params, state, demo_batch, train=True,
+                              rng=jax.random.PRNGKey(1))
+        out2, _ = model.apply(params, state, demo_batch, train=True,
+                              rng=jax.random.PRNGKey(2))
+        # transformer + bias-net dropout are active in train mode
+        (clk1, _), b1 = out1
+        (clk2, _), b2 = out2
+        assert not np.allclose(np.asarray(b1), np.asarray(b2))
+
+    def test_loss_and_grads_finite(self, demo_batch):
+        cfg, model = _build("mmoe_transformer_unbias")
+        params, state = model.init(jax.random.PRNGKey(0))
+
+        def loss_fn(p):
+            out, _ = model.apply(p, state, demo_batch, train=True,
+                                 rng=jax.random.PRNGKey(1))
+            return losses.multi_task_unbias_loss(cfg, out, demo_batch["mask"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(loss))
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+        # the big sku table must receive gradient through both seq + pooled paths
+        g_sku = grads["emb"]["Sku"]
+        assert float(jnp.abs(g_sku).sum()) > 0
+
+    def test_dims_consistency(self):
+        cfg = make_demo_config()
+        # 615 dense + 80 item-side + 3 x (80 seq + 8 ts) pooled = 959
+        assert combiner_dim(cfg) == 615 + 80 + 3 * 88
+        assert interest_dim(cfg) == 3 * 80
+        assert bias_combiner_dim(cfg) == 20
+        assert combiner_dim(cfg, skip_seq=True) == 615 + 80 + 3 * 8
+
+    def test_unknown_model_type_raises(self):
+        cfg = make_demo_config(model_type="nope")
+        with pytest.raises(ValueError, match="unknown model_type"):
+            build_model(cfg)
+
+
+@needs_demo_data
+class TestScores:
+    def test_score_paths(self, demo_batch):
+        cfg, model = _build("mmoe_transformer_unbias")
+        params, state = model.init(jax.random.PRNGKey(0))
+        out, _ = model.apply(params, state, demo_batch, train=False)
+        p_ctr, p_cvr = losses.scores_from_logits(cfg, out)
+        r_ctr, r_cvr = losses.scores_from_logits(cfg, out, rel_only=True)
+        assert p_ctr.shape == (B,)
+        (clk, ordr), bias = out
+        np.testing.assert_allclose(
+            np.asarray(p_ctr),
+            1 / (1 + np.exp(-(np.asarray(clk) + np.asarray(bias)).reshape(-1))),
+            rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(r_ctr),
+            1 / (1 + np.exp(-np.asarray(clk).reshape(-1))), rtol=1e-5)
