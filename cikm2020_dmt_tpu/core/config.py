@@ -262,8 +262,22 @@ class DMTConfig:
     # embedding tables with at least this many rows are row-sharded over the
     # "model" mesh axis; smaller tables are replicated
     shard_rows_threshold: int = 100_000
-    mesh_data: int = 1
+    mesh_data: int = 0   # 0 = auto: all devices not used by the model axis
     mesh_model: int = 1
+
+    # -------------------------------------------------------------------
+    # Derived paths (reference recsys_conf.py:106-110)
+    @property
+    def model_path(self) -> str:
+        return os.path.join(self.output_path or ".", self.tag + ".model")
+
+    @property
+    def train_result_path(self) -> str:
+        return os.path.join(self.output_path or ".", self.tag + ".train.result")
+
+    @property
+    def validation_result_path(self) -> str:
+        return os.path.join(self.output_path or ".", self.tag + ".validation.result")
 
     # -------------------------------------------------------------------
     @property

@@ -24,8 +24,9 @@ def _thresholds(n: int = NUM_THRESHOLDS) -> jnp.ndarray:
 
 
 def auc_init(n: int = NUM_THRESHOLDS) -> dict:
-    z = jnp.zeros((n,), jnp.float32)
-    return {"tp": z, "fp": z, "tn": z, "fn": z}
+    # distinct buffers per counter: the state is donated into jitted
+    # updates, and aliased leaves would be donated twice
+    return {k: jnp.zeros((n,), jnp.float32) for k in ("tp", "fp", "tn", "fn")}
 
 
 def auc_update(state: dict, labels: jnp.ndarray, preds: jnp.ndarray,
@@ -51,8 +52,7 @@ def auc_value(state: dict) -> jnp.ndarray:
 
 
 def prf_init() -> dict:
-    z = jnp.zeros((), jnp.float32)
-    return {"tp": z, "fp": z, "fn": z}
+    return {k: jnp.zeros((), jnp.float32) for k in ("tp", "fp", "fn")}
 
 
 def prf_update(state: dict, labels: jnp.ndarray, pred_binary: jnp.ndarray,

@@ -1,0 +1,211 @@
+"""Evaluator + predict: checkpoint-polling eval loop and batch scoring.
+
+Mirrors the reference's separate evaluator process
+(reference run_dnn.py:432-632) and test/predict path (run_dnn.py:635-897):
+- polls the checkpoint dir for new DONE-marked steps (filesystem protocol)
+- streams precision/recall/AUC/mean-loss over the eval split
+- collects sigmoid scores + headers, then offline session metrics
+  (P@N / MRR@N on sigma_clk + sigma_ord) and grouped AUC
+- predict supports the 'rel' vs biased score switch (run_dnn.py:677-687)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from ..core.checkpoint import CheckpointManager
+from ..core.config import DMTConfig
+from ..core.logging import log_line, log_to_file
+from ..data.pipeline import Batch, batch_stream, prefetch
+from ..metrics import offline
+from ..metrics.streaming import (task_metrics_init, task_metrics_update,
+                                 task_metrics_values)
+from ..models.zoo import BaseModel, build_model
+from .loop import make_loss_fn
+from .losses import (multi_task_loss, multi_task_unbias_loss,
+                     scores_from_logits, single_task_loss)
+
+
+def make_eval_step(cfg: DMTConfig, model: BaseModel, rel_only: bool = False):
+    """Jitted eval step: scores + loss + metric update on one batch."""
+
+    def eval_fn(params, mstate, metrics, batch):
+        out, _ = model.apply(params, mstate, batch, train=False)
+        uncertainty = params.get("uncertainty") if isinstance(params, dict) else None
+        if cfg.is_unbias_model:
+            loss = multi_task_unbias_loss(cfg, out, batch["mask"], uncertainty)
+        elif model.num_tasks == 2:
+            loss = multi_task_loss(cfg, out, batch["mask"], uncertainty)
+        else:
+            loss = single_task_loss(cfg, out, batch["mask"], train=False)
+        p_ctr, p_cvr = scores_from_logits(cfg, out, rel_only=rel_only)
+        metrics = task_metrics_update(
+            metrics, mask=batch["mask"], p_ctr=p_ctr, p_cvr=p_cvr,
+            loss=loss, weights=batch["valid"])
+        return metrics, p_ctr, p_cvr
+
+    return jax.jit(eval_fn, donate_argnums=(2,))
+
+
+def run_eval(cfg: DMTConfig, model: BaseModel, params, mstate,
+             data_path: str, batch_size: int, *, rel_only: bool = False,
+             data_iter: Optional[Iterator[Batch]] = None):
+    """Drain an eval split; returns (metric values, headers, p_clk, p_ord)."""
+    step_fn = make_eval_step(cfg, model, rel_only)
+    metrics = task_metrics_init()
+    headers: list[bytes] = []
+    clk_scores: list[np.ndarray] = []
+    ord_scores: list[np.ndarray] = []
+    if data_iter is None:
+        data_iter = prefetch(batch_stream(
+            cfg, data_path, batch_size, epochs=1, shuffle=False,
+            drop_remainder=False, pad_remainder=True))
+    for batch in data_iter:
+        jb = {k: jax.numpy.asarray(v) for k, v in batch.arrays.items()}
+        metrics, p_ctr, p_cvr = step_fn(params, mstate, metrics, jb)
+        n_valid = int(batch["valid"].sum())
+        clk_scores.append(np.asarray(p_ctr)[:n_valid])
+        ord_scores.append(np.asarray(p_cvr)[:n_valid])
+        headers.extend(batch.headers[:n_valid])
+    p_clk = np.concatenate(clk_scores) if clk_scores else np.zeros(0)
+    p_ord = np.concatenate(ord_scores) if ord_scores else np.zeros(0)
+    return task_metrics_values(metrics), headers, p_clk, p_ord
+
+
+_ITER_RE = re.compile(r">> iter_steps:(\d+)")
+
+
+def newest_result_step(result_path: str) -> int:
+    """Reference get_validation_newest_step (run_dnn.py:391-406)."""
+    if not os.path.exists(result_path):
+        return 0
+    step = 0
+    with open(result_path) as f:
+        for line in f:
+            m = _ITER_RE.search(line)
+            if m:
+                step = max(step, int(m.group(1)))
+    return step
+
+
+def _write_offline_metrics(cfg: DMTConfig, headers, total_score,
+                           out_path: str) -> dict:
+    metric_sets = offline.precision_mrr_at_n(
+        cfg.header_schema, headers, total_score)
+    for action, (pre, mrr) in metric_sets.items():
+        lines = []
+        for n, p, m in zip(offline.AT_LIST, pre, mrr):
+            lines.append(f"action_{action}_pre_at_{n}: {p}")
+            lines.append(f"action_{action}_mrr_at_{n}: {m}")
+        log_to_file("\n".join(lines), out_path)
+    return metric_sets
+
+
+def validation(cfg: DMTConfig, once: bool = False,
+               poll_interval: float = 5.0,
+               max_steps: Optional[int] = None) -> Optional[dict]:
+    """Evaluator role: poll for new checkpoints, evaluate each
+    (reference validation(), run_dnn.py:432-632)."""
+    model = build_model(cfg)
+    ckpt = CheckpointManager(cfg.model_path)
+    result_path = cfg.validation_result_path
+    step = newest_result_step(result_path)
+    limit = max_steps if max_steps is not None else cfg.max_iter_step
+    last_vals = None
+    while step < limit:
+        new_step = ckpt.newest_step_after(step)
+        if new_step is None:
+            if once:
+                break
+            time.sleep(poll_interval)
+            continue
+        step = new_step
+        template = _template(model)
+        restored = ckpt.restore(step, template)
+        vals, headers, p_clk, p_ord = run_eval(
+            cfg, model, restored["params"], restored["model_state"],
+            cfg.validation_data_path, cfg.validation_batch_size)
+        log_line(f"validation @ step {step}: " + " | ".join(
+            f"{k} {v:.6f}" for k, v in vals.items()))
+        lines = [f">> iter_steps:{step}"] + [
+            f"validation_{k}:{v}" for k, v in vals.items()]
+        log_to_file("\n".join(lines), result_path)
+        # offline session metrics on sigma_clk + sigma_ord (run_dnn.py:617-629)
+        _write_offline_metrics(cfg, headers, p_clk + p_ord, result_path)
+        last_vals = vals
+        if once:
+            break
+    return last_vals
+
+
+def _template(model: BaseModel):
+    params, mstate = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0)))
+    zeros = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), (params, mstate))
+    from .optim import make_optimizer
+    p0, m0 = zeros
+    opt = make_optimizer(model.cfg).init(p0)
+    return {"params": p0, "model_state": m0, "opt_state": opt,
+            "step": np.zeros((), np.int32)}
+
+
+def predict(cfg: DMTConfig, ckpt_step: int, test_tag: str = "",
+            test_score_method: str = "rel") -> dict:
+    """Test role (reference predict(), run_dnn.py:635-897): score every test
+    path, write result + detail files, compute offline metrics."""
+    model = build_model(cfg)
+    ckpt = CheckpointManager(cfg.model_path)
+    restored = ckpt.restore(ckpt_step, _template(model))
+    params, mstate = restored["params"], restored["model_state"]
+
+    paths = (cfg.test_data_path_ord if test_tag == "ord"
+             else cfg.test_data_path).split(",")
+    rel_only = (test_score_method == "rel")
+
+    out_file = os.path.join(
+        cfg.output_path or ".",
+        f"{cfg.tag}.ckpt-{ckpt_step}.test_result_{test_tag}_{test_score_method}")
+    detail_file = out_file + ".detail"
+    for p in (out_file, detail_file):
+        if os.path.exists(p):
+            os.remove(p)
+
+    results = {}
+    for test_path in paths:
+        test_path = test_path.strip()
+        if not test_path:
+            continue
+        vals, headers, p_clk, p_ord = run_eval(
+            cfg, model, params, mstate, test_path, cfg.test_batch_size,
+            rel_only=rel_only)
+        log_line(f"test[{test_path}]: " + " | ".join(
+            f"{k} {v:.6f}" for k, v in vals.items()))
+        log_to_file("\n".join([f">> ckpt:{ckpt_step} path:{test_path}"] +
+                              [f"test_{k}:{v}" for k, v in vals.items()]),
+                    out_file)
+        with open(detail_file, "a") as f:
+            for h, sc, so in zip(headers, p_clk, p_ord):
+                f.write(h.decode() + f"\t{sc}\t{so}\n")
+        total = p_clk + p_ord  # reference total score (run_dnn.py:833-849)
+        pm = _write_offline_metrics(cfg, headers, total, out_file)
+        gauc = offline.grouped_auc(cfg.header_schema, headers, total)
+        oauc_clk = offline.overall_auc(cfg.header_schema, headers, p_clk)
+        oauc_ord = offline.overall_auc(cfg.header_schema, headers, p_ord)
+        log_to_file(
+            f"grouped_auc_click: {gauc[offline.CLICK]}\n"
+            f"grouped_auc_order: {gauc[offline.ORDER]}\n"
+            f"overall_auc_click: {oauc_clk[offline.CLICK]}\n"
+            f"overall_auc_order: {oauc_ord[offline.ORDER]}", out_file)
+        results[test_path] = {
+            "streaming": vals, "precision_mrr": pm, "grouped_auc": gauc,
+            "overall_auc": {"click": oauc_clk[offline.CLICK],
+                            "order": oauc_ord[offline.ORDER]},
+        }
+    return results

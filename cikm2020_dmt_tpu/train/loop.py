@@ -1,0 +1,215 @@
+"""Training runtime: jitted train step over the device mesh + chief loop.
+
+TPU-native replacement for the reference's multi-tower session loop
+(reference run_dnn.py:111-388): one jit-compiled train step with sharding
+annotations instead of N cloned subgraphs; gradient all-reduce over the
+mesh's data axis is inserted by XLA GSPMD (the reference's in-graph
+``average_gradients`` sync point, run_dnn.py:45-80,203).
+
+Checkpoint cadence, DONE markers, stdout metric lines, and result-file
+appends preserve the reference's chief/evaluator filesystem protocol.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.checkpoint import CheckpointManager
+from ..core.config import DMTConfig
+from ..core.logging import Throughput, log_line, log_to_file, timestamp
+from ..core.mesh import batch_sharding, build_mesh, param_shardings, replicated
+from ..data.pipeline import Batch, batch_stream, prefetch
+from ..data.schema import FeatureSchema
+from ..metrics.streaming import (task_metrics_init, task_metrics_update,
+                                 task_metrics_values)
+from ..models.zoo import BaseModel, build_model
+from .losses import (l2_regularization, multi_task_loss,
+                     multi_task_unbias_loss, scores_from_logits,
+                     single_task_loss)
+from .optim import make_optimizer
+
+HOST_ONLY_KEYS = ()  # every Batch array goes to device
+
+
+def make_loss_fn(cfg: DMTConfig, model: BaseModel):
+    """Loss dispatch by model family (reference run_dnn.py:155-175)."""
+
+    def loss_fn(params, mstate, batch, rng):
+        out, new_state = model.apply(params, mstate, batch, train=True, rng=rng)
+        uncertainty = params.get("uncertainty") if isinstance(params, dict) else None
+        if cfg.is_unbias_model:
+            loss = multi_task_unbias_loss(cfg, out, batch["mask"], uncertainty)
+        elif model.num_tasks == 2:
+            sw = batch["propensity_weight_mul"] if cfg.propensity_em else None
+            loss = multi_task_loss(cfg, out, batch["mask"], uncertainty,
+                                   sample_weight=sw)
+        else:
+            loss = single_task_loss(cfg, out, batch["mask"], train=True)
+        if cfg.wnd_wd > 1e-5:  # reference gate (run_dnn.py:174)
+            loss = loss + l2_regularization(cfg, params, batch)
+        return loss, (out, new_state)
+
+    return loss_fn
+
+
+class Trainer:
+    def __init__(self, cfg: DMTConfig, model: Optional[BaseModel] = None,
+                 mesh=None):
+        self.cfg = cfg
+        self.schema = FeatureSchema.from_config(cfg)
+        self.model = model or build_model(cfg, self.schema)
+        self.mesh = mesh if mesh is not None else build_mesh(cfg)
+        self.optimizer = make_optimizer(cfg)
+        self.loss_fn = make_loss_fn(cfg, self.model)
+        self.ckpt = CheckpointManager(cfg.model_path)
+        self._compiled = None
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: Optional[jax.Array] = None) -> dict:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        params, mstate = self.model.init(rng)
+        opt_state = self.optimizer.init(params)
+        return {
+            "params": params,
+            "model_state": mstate,
+            "opt_state": opt_state,
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    def shard_state(self, tstate: dict) -> dict:
+        """Place params per the mesh sharding policy (large tables row-split
+        over the model axis); optimizer moments mirror their params."""
+        psh = param_shardings(self.cfg, tstate["params"], self.mesh)
+        rep = replicated(self.mesh)
+
+        def put_like(tree, shardings):
+            return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+        out = dict(tstate)
+        out["params"] = put_like(tstate["params"], psh)
+
+        # mirror: map each opt-state leaf to the sharding of the param with
+        # identical shape when unique, else replicate
+        shape_to_sh = {}
+        for leaf, sh in zip(jax.tree_util.tree_leaves(tstate["params"]),
+                            jax.tree_util.tree_leaves(psh)):
+            key = (leaf.shape, leaf.dtype.name if hasattr(leaf, "dtype") else None)
+            shape_to_sh.setdefault(key, sh)
+
+        def put_opt(leaf):
+            if hasattr(leaf, "shape"):
+                sh = shape_to_sh.get(
+                    (leaf.shape, leaf.dtype.name if hasattr(leaf, "dtype") else None))
+                return jax.device_put(leaf, sh if sh is not None else rep)
+            return leaf
+
+        out["opt_state"] = jax.tree_util.tree_map(put_opt, tstate["opt_state"])
+        out["model_state"] = put_like(
+            tstate["model_state"],
+            jax.tree_util.tree_map(lambda _: rep, tstate["model_state"]))
+        out["step"] = jax.device_put(tstate["step"], rep)
+        return out
+
+    # ------------------------------------------------------------------
+    def _train_step(self):
+        if self._compiled is not None:
+            return self._compiled
+        optimizer = self.optimizer
+        cfg = self.cfg
+        loss_fn = self.loss_fn
+
+        def step_fn(tstate, metrics, batch, rng):
+            (loss, (out, mstate)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(
+                    tstate["params"], tstate["model_state"], batch, rng)
+            updates, opt_state = optimizer.update(
+                grads, tstate["opt_state"], tstate["params"])
+            params = optax.apply_updates(tstate["params"], updates)
+            p_ctr, p_cvr = scores_from_logits(cfg, out)
+            metrics = task_metrics_update(
+                metrics, mask=batch["mask"], p_ctr=p_ctr, p_cvr=p_cvr,
+                loss=loss, weights=batch["valid"])
+            new_tstate = {
+                "params": params,
+                "model_state": mstate,
+                "opt_state": opt_state,
+                "step": tstate["step"] + 1,
+            }
+            return new_tstate, metrics, loss
+
+        self._compiled = jax.jit(step_fn, donate_argnums=(0, 1))
+        return self._compiled
+
+    def device_batch(self, batch: Batch) -> dict:
+        sh = batch_sharding(self.mesh)
+        return {k: jax.device_put(v, sh) for k, v in batch.arrays.items()}
+
+    # ------------------------------------------------------------------
+    def train(self, data_path: Optional[str] = None,
+              max_steps: Optional[int] = None,
+              resume_step: Optional[int] = None,
+              log_every: int = 10,
+              data_iter: Optional[Iterator[Batch]] = None) -> dict:
+        """Chief training loop; returns final streaming metric values."""
+        cfg = self.cfg
+        data_path = data_path or cfg.train_data_path
+        max_steps = max_steps if max_steps is not None else cfg.max_iter_step
+
+        tstate = self.init_state()
+        start_step = 0
+        if resume_step is not None and self.ckpt.has_step(resume_step):
+            tstate = self.ckpt.restore(resume_step, tstate)
+            start_step = resume_step
+            log_line(f"resumed from model.ckpt-{resume_step}")
+        tstate = self.shard_state(tstate)
+
+        if data_iter is None:
+            num_hosts = jax.process_count()
+            data_iter = prefetch(batch_stream(
+                cfg, data_path, cfg.batch_size, epochs=cfg.epoch_num,
+                shuffle=True, num_shards=num_hosts,
+                shard_index=jax.process_index()))
+
+        step_fn = self._train_step()
+        metrics = task_metrics_init()
+        meter = Throughput()
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        step = start_step
+        for batch in data_iter:
+            if step >= max_steps:
+                break
+            dev_batch = self.device_batch(batch)
+            tstate, metrics, loss = step_fn(
+                tstate, metrics, dev_batch, jax.random.fold_in(rng, step))
+            step += 1
+            step_time, eps = meter.tick(batch.size)
+            if step % log_every == 0 or step == max_steps:
+                vals = task_metrics_values(metrics)
+                log_line(
+                    f"step {step} | loss {float(loss):.6f} | "
+                    f"clk p/r/auc {vals['click_precision']:.4f}/"
+                    f"{vals['click_recall']:.4f}/{vals['click_auc']:.4f} | "
+                    f"ord p/r/auc {vals['order_precision']:.4f}/"
+                    f"{vals['order_recall']:.4f}/{vals['order_auc']:.4f} | "
+                    f"{eps:.0f} ex/s ({step_time*1000:.0f} ms/step)")
+            if step % cfg.validate_step == 0 or step == max_steps:
+                self._save(tstate, step, metrics)
+        if step != start_step and not self.ckpt.has_step(step):
+            self._save(tstate, step, metrics)
+        return task_metrics_values(metrics)
+
+    def _save(self, tstate: dict, step: int, metrics) -> None:
+        host_state = jax.tree_util.tree_map(np.asarray, tstate)
+        self.ckpt.save(step, host_state)
+        vals = task_metrics_values(metrics)
+        lines = [f">> iter_steps:{step}"] + [
+            f"train_{k}:{v}" for k, v in vals.items()]
+        log_to_file("\n".join(lines), self.cfg.train_result_path)
+        log_line(f"saved model.ckpt-{step} (+DONE marker)")

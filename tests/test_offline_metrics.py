@@ -1,0 +1,130 @@
+"""Offline ranking metrics vs a literal pandas transcription of the
+reference algorithm (reference metrics/metrics.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cikm2020_dmt_tpu.metrics import offline
+
+
+def _make_headers(sids, uuids, labels):
+    """13-field headers per the dmt schema; only sid/uuid/label matter."""
+    out = []
+    for s, u, l in zip(sids, uuids, labels):
+        f = ["e", "p", "t", str(s), "1", "sku", str(u), "-1", "o",
+             str(l), "r", "2", "0"]
+        out.append("\t".join(f).encode())
+    return out
+
+
+SCHEMA = ("expid", "pin", "expo_time", "sid", "pos", "sku", "uuid",
+          "click_time", "order_id", "label", "reqsig", "page", "index")
+
+
+def _reference_pre_mrr(headers, scores, at_list=offline.AT_LIST):
+    """Pandas transcription of metrics.py:14-52,90-199."""
+    df = pd.DataFrame([h.decode().split("\t") for h in headers],
+                      columns=list(SCHEMA))
+    df["label"] = df["label"].astype(int)
+    df["score"] = pd.Series(np.asarray(scores))
+    df = df[["label", "sid", "score"]]
+    out = {}
+    for action in (offline.CLICK, offline.ORDER):
+        pre = np.zeros(len(at_list))
+        mrr = np.zeros(len(at_list))
+        groups = list(df.groupby("sid"))
+        for _, g in groups:
+            sg = g.sort_values(by=["score", "label"], ascending=[False, True])
+            for i, N in enumerate(at_list):
+                top = sg.head(N)
+                check = (top["label"] >= action).astype(int)
+                pre[i] += check.sum() / len(top)
+                hits = check.to_list()
+                for j, h in enumerate(hits):
+                    if h:
+                        mrr[i] += 1 / (j + 1)
+                        break
+        out[action] = (pre / len(groups), mrr / len(groups))
+    return out
+
+
+class TestPrecisionMRR:
+    def test_matches_reference_oracle(self):
+        rng = np.random.default_rng(3)
+        n = 400
+        sids = rng.integers(0, 40, n)
+        uuids = rng.integers(0, 25, n)
+        labels = rng.choice([0, 0, 0, 1, 2, 4, 5], n)
+        scores = rng.random(n)
+        headers = _make_headers(sids, uuids, labels)
+
+        got = offline.precision_mrr_at_n(SCHEMA, headers, scores)
+        want = _reference_pre_mrr(headers, scores)
+        for action in (offline.CLICK, offline.ORDER):
+            np.testing.assert_allclose(got[action][0], want[action][0],
+                                       rtol=1e-9, err_msg=f"pre action={action}")
+            np.testing.assert_allclose(got[action][1], want[action][1],
+                                       rtol=1e-9, err_msg=f"mrr action={action}")
+
+    def test_tie_breaking_label_ascending(self):
+        # two items same score: lower label ranked first (pessimistic)
+        headers = _make_headers([1, 1], [1, 1], [2, 0])
+        scores = [0.5, 0.5]
+        got = offline.precision_mrr_at_n(SCHEMA, headers, scores)
+        pre2 = got[offline.CLICK][0][0]   # P@2
+        mrr2 = got[offline.CLICK][1][0]   # MRR@2: first hit at rank 2
+        assert pre2 == pytest.approx(0.5)
+        assert mrr2 == pytest.approx(0.5)
+
+
+class TestGroupedAUC:
+    def test_matches_sklearn_per_group(self):
+        from sklearn.metrics import roc_auc_score
+        rng = np.random.default_rng(5)
+        n = 300
+        uuids = rng.integers(0, 20, n)
+        labels = rng.choice([0, 0, 1, 2, 4, 5], n)
+        scores = rng.random(n)
+        headers = _make_headers(np.zeros(n, int), uuids, labels)
+        got = offline.grouped_auc(SCHEMA, headers, scores, "uuid")
+        for action in (offline.CLICK, offline.ORDER):
+            y = (labels >= action).astype(int)
+            total, cnt = 0.0, 0
+            for u in np.unique(uuids):
+                m = uuids == u
+                if m.sum() == 1:
+                    continue
+                if len(np.unique(y[m])) < 2:
+                    total += 1.0  # reference except->1 (old sklearn raised)
+                else:
+                    total += roc_auc_score(y[m], scores[m])
+                cnt += 1
+            np.testing.assert_allclose(got[action], total / cnt, rtol=1e-9)
+
+    def test_single_class_group_counts_one(self):
+        headers = _make_headers([0, 0], [7, 7], [0, 0])
+        got = offline.grouped_auc(SCHEMA, headers, [0.1, 0.9], "uuid")
+        assert got[offline.CLICK] == 1.0
+
+    def test_size_one_groups_skipped(self):
+        headers = _make_headers([0, 0, 0], [1, 2, 2], [2, 2, 0])
+        got = offline.grouped_auc(SCHEMA, headers, [0.9, 0.8, 0.1], "uuid")
+        # only uuid=2 counts: perfect ordering -> 1.0
+        assert got[offline.CLICK] == 1.0
+
+
+class TestOverallAUC:
+    def test_matches_sklearn(self):
+        from sklearn.metrics import roc_auc_score
+        rng = np.random.default_rng(7)
+        labels = rng.choice([0, 0, 2, 5], 500)
+        scores = rng.random(500) + 0.2 * (labels > 0)
+        headers = _make_headers(np.zeros(500, int), np.zeros(500, int), labels)
+        got = offline.overall_auc(SCHEMA, headers, scores)
+        np.testing.assert_allclose(
+            got[offline.CLICK],
+            roc_auc_score((labels >= 2).astype(int), scores), rtol=1e-9)
+        np.testing.assert_allclose(
+            got[offline.ORDER],
+            roc_auc_score((labels >= 5).astype(int), scores), rtol=1e-9)
