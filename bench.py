@@ -1,0 +1,68 @@
+"""Benchmark: flagship DMT train-step throughput on one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "examples/s", "vs_baseline": N}
+
+Measures the full mmoe_transformer_unbias training step (forward + backward
++ Adam update + streaming-metric update) at batch 4096 with production-size
+embedding tables (Sku 5M x 32 etc.) on synthetic batches with realistic
+sequence sparsity.  Compute-path benchmark: batches are device-resident
+(input-pipeline throughput is benched separately in tests/bench_data.py).
+
+vs_baseline: ratio to the same step measured on this host's CPU backend
+(389 examples/s, all cores, f32 — measured 2026-08-17 on this container;
+the reference publishes no throughput numbers at all, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+CPU_BASELINE_EPS = 389.0  # examples/s, flagship step, this host's CPU
+BATCH = 4096
+WARMUP = 3
+ITERS = 20
+
+
+def main() -> None:
+    import jax
+
+    import __graft_entry__ as g
+    from cikm2020_dmt_tpu.metrics.streaming import task_metrics_init
+    from cikm2020_dmt_tpu.train.loop import Trainer
+
+    cfg = g._demo_config(sku_rows=5_000_000, batch_size=BATCH,
+                         validate_step=10**9)
+    trainer = Trainer(cfg)
+    tstate = trainer.shard_state(trainer.init_state())
+    step_fn = trainer._train_step()
+    batch = trainer.device_batch(g._as_batch(g.synthetic_batch(cfg, BATCH)))
+
+    metrics = task_metrics_init()
+    rng = jax.random.PRNGKey(0)
+    for i in range(WARMUP):
+        tstate, metrics, loss = step_fn(tstate, metrics, batch,
+                                        jax.random.fold_in(rng, i))
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        tstate, metrics, loss = step_fn(tstate, metrics, batch,
+                                        jax.random.fold_in(rng, WARMUP + i))
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    eps = BATCH / dt
+    n_chips = jax.device_count()
+    eps_per_chip = eps / n_chips
+    print(json.dumps({
+        "metric": "examples/sec/chip, DMT train step, batch 4096",
+        "value": round(eps_per_chip, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(eps_per_chip / CPU_BASELINE_EPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

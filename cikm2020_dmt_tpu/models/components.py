@@ -18,8 +18,8 @@ import jax.numpy as jnp
 from ..core.config import DMTConfig
 from ..data.pipeline import IDS, LEN, WTS
 from ..data.schema import FeatureSchema
-from ..nn.embedding import (collection_init, pooled_lookup, presence_mask,
-                            seq_lookup, ts_bucketize)
+from ..nn.embedding import (collection_init, presence_mask, ts_bucketize)
+from ..parallel.embedding_shard import DENSE_ENGINE, EmbeddingEngine
 from ..nn.layers import (Params, State, dense_apply, dense_init,
                          dropout_rate, glorot_uniform, mlp_apply, mlp_init)
 from ..nn.transformer import encode_decode, transformer_init
@@ -53,7 +53,8 @@ def _attention_user_features(cfg: DMTConfig) -> frozenset[str]:
 
 
 def embedding_combiner(emb: Params, batch: dict, cfg: DMTConfig, *,
-                       skip_seq: bool = False) -> jnp.ndarray:
+                       skip_seq: bool = False,
+                       engine: EmbeddingEngine = DENSE_ENGINE) -> jnp.ndarray:
     """[dense features ∥ mean-pooled embedding per spec ∥ sim crosses].
 
     ``skip_seq`` reproduces the single-sequence transformer model's
@@ -73,8 +74,8 @@ def embedding_combiner(emb: Params, batch: dict, cfg: DMTConfig, *,
         ids = batch[spec.feature + IDS]
         if spec.feature in ts_feats:
             ids = ts_bucketize(ids, emb[spec.table].shape[0])
-        pooled = pooled_lookup(
-            emb[spec.table], ids,
+        pooled = engine.pooled(
+            spec.table, emb[spec.table], ids,
             batch[spec.feature + WTS], batch[spec.feature + LEN])
         if spec.feature in sim_wanted:
             sim_pool[spec.feature] = pooled
@@ -131,7 +132,8 @@ def sequences_init(rng, cfg: DMTConfig, dtype=jnp.float32) -> Params:
 
 def sequence_interest(params: Params, emb: Params, batch: dict,
                       cfg: DMTConfig, *, train: bool,
-                      rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                      rng: Optional[jax.Array] = None,
+                      engine: EmbeddingEngine = DENSE_ENGINE) -> jnp.ndarray:
     """Concat of per-sequence user interest states [B, n_seq * d].
 
     Mirrors generate_data (mask/lens from the sequence feature, concat of
@@ -153,10 +155,12 @@ def sequence_interest(params: Params, emb: Params, batch: dict,
         for user_feat, item_feat in group:
             uspec = spec_of[user_feat]
             ispec = spec_of[item_feat]
-            seq_parts.append(seq_lookup(
-                emb[uspec.table], batch[user_feat + IDS], cfg.zero_pad))
-            tar = seq_lookup(
-                emb[ispec.table], batch[item_feat + IDS], cfg.zero_pad)
+            seq_parts.append(engine.seq(
+                uspec.table, emb[uspec.table], batch[user_feat + IDS],
+                cfg.zero_pad))
+            tar = engine.seq(
+                ispec.table, emb[ispec.table], batch[item_feat + IDS],
+                cfg.zero_pad)
             tar_parts.append(tar[:, 0, :])  # single-id item feature
         seq_emb = jnp.concatenate(seq_parts, axis=-1)      # [B, L, 80]
         tar_emb = jnp.concatenate(tar_parts, axis=-1)      # [B, 80]
@@ -168,7 +172,8 @@ def sequence_interest(params: Params, emb: Params, batch: dict,
             if tspec is not None:
                 buckets = ts_bucketize(batch[ts_feat + IDS],
                                        emb[tspec.table].shape[0])
-                ts_emb = seq_lookup(emb[tspec.table], buckets, cfg.zero_pad)
+                ts_emb = engine.seq(tspec.table, emb[tspec.table], buckets,
+                                    cfg.zero_pad)
 
         p = params[f"seq{gi}"]
         if tc.is_trans_input_by_mlp:
@@ -272,7 +277,8 @@ def bias_net_init(rng, cfg: DMTConfig, dtype=jnp.float32) -> Params:
 
 
 def bias_net_apply(params: Params, batch: dict, cfg: DMTConfig, *,
-                   train: bool, rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                   train: bool, rng: Optional[jax.Array] = None,
+                   engine: EmbeddingEngine = DENSE_ENGINE) -> jnp.ndarray:
     """Bias logit from position/neighbor-exposure embeddings.
 
     The bias MLP uses tf.layers-style dropout (always active in training,
@@ -282,8 +288,8 @@ def bias_net_apply(params: Params, batch: dict, cfg: DMTConfig, *,
     emb = params["emb"]
     parts = []
     for spec in cfg.embeddings_bias:
-        parts.append(pooled_lookup(
-            emb[spec.table], batch[spec.feature + IDS],
+        parts.append(engine.pooled(
+            spec.table, emb[spec.table], batch[spec.feature + IDS],
             batch[spec.feature + WTS], batch[spec.feature + LEN]))
     y = jnp.concatenate(parts, axis=-1)
     p = params["mlp"]

@@ -25,6 +25,7 @@ from ..core.config import DMTConfig
 from ..data.schema import FeatureSchema
 from ..nn.embedding import collection_init
 from ..nn.layers import Params, State, mlp_apply, mlp_init
+from ..parallel.embedding_shard import DENSE_ENGINE
 from .components import (bias_net_apply, bias_net_init, combiner_dim,
                          embedding_combiner, interest_dim, mmoe_apply,
                          mmoe_init, sequence_interest, sequences_init,
@@ -49,6 +50,9 @@ class BaseModel:
         self.cfg = cfg
         self.schema = schema or FeatureSchema.from_config(cfg)
         self.dtype = jnp.dtype(cfg.param_dtype)
+        # embedding lookup engine; the Trainer swaps in the sharded engine
+        # (parallel/embedding_shard.py) when the mesh has a model axis
+        self.engine = DENSE_ENGINE
 
     def init(self, rng) -> tuple[Params, State]:
         raise NotImplementedError
@@ -90,7 +94,8 @@ class EmbedMLP(BaseModel):
         return params, ({"mlp": st} if st else {})
 
     def apply(self, params, state, batch, *, train, rng=None, is_predict=False):
-        x = embedding_combiner(params["emb"], batch, self.cfg)
+        x = embedding_combiner(params["emb"], batch, self.cfg,
+                               engine=self.engine)
         y, st = mlp_apply(params["mlp"], state.get("mlp", {}), x,
                           keep_probs=self.cfg.dropout, train=train,
                           is_bn=self.cfg.is_bn, is_dropout=self.cfg.is_dropout,
@@ -138,10 +143,12 @@ class MultiTask(BaseModel):
     def apply(self, params, state, batch, *, train, rng=None, is_predict=False):
         cfg = self.cfg
         keys = jax.random.split(rng, 4) if rng is not None else [None] * 4
-        x = embedding_combiner(params["emb"], batch, cfg)
+        x = embedding_combiner(params["emb"], batch, cfg,
+                               engine=self.engine)
         if self.use_interest:
             interest = sequence_interest(params["trans"], params["emb"],
-                                         batch, cfg, train=train, rng=keys[3])
+                                         batch, cfg, train=train, rng=keys[3],
+                                         engine=self.engine)
             x = jnp.concatenate([x, interest], axis=-1)
         new_state: State = {}
         y, st = mlp_apply(params["bottom"], state.get("bottom", {}), x,
@@ -192,10 +199,12 @@ class MMoE(BaseModel):
 
     def _trunk(self, params, state, batch, *, train, keys):
         cfg = self.cfg
-        x = embedding_combiner(params["emb"], batch, cfg)
+        x = embedding_combiner(params["emb"], batch, cfg,
+                               engine=self.engine)
         if self.use_interest:
             interest = sequence_interest(params["trans"], params["emb"],
-                                         batch, cfg, train=train, rng=keys[3])
+                                         batch, cfg, train=train, rng=keys[3],
+                                         engine=self.engine)
             x = jnp.concatenate([x, interest], axis=-1)
         new_state: State = {}
         outs, st = mmoe_apply(params["mmoe"], state.get("mmoe", {}), x, cfg,
@@ -235,9 +244,11 @@ class Transformer(BaseModel):
     def apply(self, params, state, batch, *, train, rng=None, is_predict=False):
         cfg = self.cfg
         keys = jax.random.split(rng, 2) if rng is not None else [None] * 2
-        x = embedding_combiner(params["emb"], batch, cfg, skip_seq=True)
+        x = embedding_combiner(params["emb"], batch, cfg, skip_seq=True,
+                               engine=self.engine)
         interest = sequence_interest(params["trans"], params["emb"], batch,
-                                     cfg, train=train, rng=keys[1])
+                                     cfg, train=train, rng=keys[1],
+                                     engine=self.engine)
         x = jnp.concatenate([x, interest], axis=-1)
         y, st = mlp_apply(params["mlp"], state.get("mlp", {}), x,
                           keep_probs=cfg.dropout, train=train,
@@ -281,7 +292,8 @@ class MMoETransformerUnbias(MMoETransformer):
         if is_predict:
             return y_rel, new_state
         y_bias = bias_net_apply(params["bias_net"], batch, self.cfg,
-                                train=train, rng=keys[4])
+                                train=train, rng=keys[4],
+                                engine=self.engine)
         return (y_rel, y_bias), new_state
 
 

@@ -1,0 +1,123 @@
+"""Row-sharded embedding engine: explicit shard_map lookups over the model
+mesh axis.
+
+The reference keeps its giant id tables (Sku 5M x 32, Shopid 230K x 16,
+Brand 190K x 16) on host RAM and pays PCIe per step
+(reference model/net/base.py:83 /cpu:0 pinning).  TPU-native design: rows
+split over the ``model`` mesh axis; each lookup is
+
+    local masked gather  ->  psum over the model axis
+
+expressed with ``shard_map`` so XLA never all-gathers the table (GSPMD's
+default strategy for an unconstrained gather on a sharded operand).  The
+pooled path pools *before* the psum, so the collective moves [B, D] bytes
+instead of [B, L, D].
+
+The backward pass is automatic: grad of psum is identity per shard, and the
+local gather transposes to a scatter-add into the local row range — i.e.
+each shard accumulates gradient only for its own rows, which is exactly the
+sharded-update we want.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.config import DMTConfig
+from ..core.mesh import DATA_AXIS, MODEL_AXIS
+from ..nn.embedding import pooled_lookup, presence_mask, seq_lookup
+
+
+def should_shard_table(cfg: DMTConfig, mesh: Mesh, rows: int) -> bool:
+    """Single source of truth for the row-sharding policy; must agree with
+    core.mesh.param_shardings."""
+    m = mesh.shape[MODEL_AXIS]
+    return m > 1 and rows >= cfg.shard_rows_threshold and rows % m == 0
+
+
+class EmbeddingEngine:
+    """Replicated-table engine: plain gathers (single chip / small tables)."""
+
+    def pooled(self, name: str, table, ids, wts, lens, combiner="mean"):
+        return pooled_lookup(table, ids, wts, lens, combiner)
+
+    def seq(self, name: str, table, ids, zero_pad: bool):
+        return seq_lookup(table, ids, zero_pad)
+
+
+DENSE_ENGINE = EmbeddingEngine()
+
+
+class ShardedEmbeddingEngine(EmbeddingEngine):
+    """Dispatches large tables to shard_map lookups, small ones to the
+    replicated path."""
+
+    def __init__(self, cfg: DMTConfig, mesh: Mesh):
+        self.cfg = cfg
+        self.mesh = mesh
+
+    def _sharded(self, table) -> bool:
+        return should_shard_table(self.cfg, self.mesh, table.shape[0])
+
+    # -- pooled ---------------------------------------------------------
+    def pooled(self, name: str, table, ids, wts, lens, combiner="mean"):
+        if not self._sharded(table):
+            return pooled_lookup(table, ids, wts, lens, combiner)
+        rows_per_shard = table.shape[0] // self.mesh.shape[MODEL_AXIS]
+
+        def local(table_shard, ids_l, wts_l, lens_l):
+            shard = jax.lax.axis_index(MODEL_AXIS)
+            lo = shard * rows_per_shard
+            rel = ids_l - lo
+            in_shard = (rel >= 0) & (rel < rows_per_shard)
+            emb = jnp.take(table_shard, jnp.where(in_shard, rel, 0), axis=0)
+            emb = jnp.where(in_shard[..., None], emb, 0.0)     # [b, L, D]
+            mask = presence_mask(wts_l, lens_l)
+            w = (wts_l * mask).astype(emb.dtype)
+            weighted = jnp.einsum("bl,bld->bd", w, emb)
+            weighted = jax.lax.psum(weighted, MODEL_AXIS)      # [b, D] only
+            if combiner == "sum":
+                return weighted
+            denom = jnp.sum(w, axis=-1, keepdims=True)
+            return jnp.where(denom > 0,
+                             weighted / jnp.maximum(denom, 1e-12), 0.0)
+
+        return jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS, None),
+                      P(DATA_AXIS, None), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS, None),
+        )(table, ids, wts, lens)
+
+    # -- per-position (sequence) ---------------------------------------
+    def seq(self, name: str, table, ids, zero_pad: bool):
+        if not self._sharded(table):
+            return seq_lookup(table, ids, zero_pad)
+        rows_per_shard = table.shape[0] // self.mesh.shape[MODEL_AXIS]
+
+        def local(table_shard, ids_l):
+            shard = jax.lax.axis_index(MODEL_AXIS)
+            lo = shard * rows_per_shard
+            rel = ids_l - lo
+            in_shard = (rel >= 0) & (rel < rows_per_shard)
+            if zero_pad:
+                in_shard = in_shard & (ids_l > 0)
+            emb = jnp.take(table_shard, jnp.where(in_shard, rel, 0), axis=0)
+            emb = jnp.where(in_shard[..., None], emb, 0.0)
+            return jax.lax.psum(emb, MODEL_AXIS)               # [b, L, D]
+
+        return jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS, None)),
+            out_specs=P(DATA_AXIS, None, None),
+        )(table, ids)
+
+
+def make_engine(cfg: DMTConfig, mesh: Mesh | None) -> EmbeddingEngine:
+    if mesh is not None and mesh.shape.get(MODEL_AXIS, 1) > 1:
+        return ShardedEmbeddingEngine(cfg, mesh)
+    return DENSE_ENGINE

@@ -66,6 +66,9 @@ class Trainer:
         self.schema = FeatureSchema.from_config(cfg)
         self.model = model or build_model(cfg, self.schema)
         self.mesh = mesh if mesh is not None else build_mesh(cfg)
+        # swap in shard_map-based lookups when the mesh has a model axis
+        from ..parallel.embedding_shard import make_engine
+        self.model.engine = make_engine(cfg, self.mesh)
         self.optimizer = make_optimizer(cfg)
         self.loss_fn = make_loss_fn(cfg, self.model)
         self.ckpt = CheckpointManager(cfg.model_path)
