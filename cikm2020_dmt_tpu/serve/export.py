@@ -1,0 +1,231 @@
+"""Serving export: a jit-compiled scoring function with folded-in online
+normalization and blended Scores output.
+
+Replaces the reference's TF SavedModel export
+(reference saved_model/export_model.py + rec_saved_model.py +
+saved_model/preprocess.py) with a TPU-native serving bundle:
+
+- dense features arrive RAW at serving time and are normalized online with
+  precomputed train-set mean/std constants (the training data is already
+  normalized; this asymmetry is the reference's, export_model.py:88-99):
+
+      const_vec  = mean*std/(3*(std+eps)^2) + mean*std/(std+eps) - mean
+      normalized = clip(clip(x,0,inf)*std/(3*(std+eps)^2) - const_vec,
+                        -0.99, 0.99)
+  (preprocess.py:18-41; eps = 1e-7, computed in float64 like the reference)
+
+- id features arrive as raw string ids; the host-side ``ServingPreprocessor``
+  applies the same vocab/OOV mapping as training and broadcasts single-user
+  u-side sequences across the request batch (the reference's
+  online_build_sparsetensor tiling, inference_mlp.py:73-113)
+
+- Scores = (w0*sigmoid(click) + w1*sigmoid(order)) / sum(w)
+  (export_model.py:109-115), computed from relevance-only logits
+  (is_predict=True drops the bias head, mmoe_transformer_unbias.py:312-316)
+
+The exported bundle directory holds an Orbax checkpoint of the params plus
+a JSON descriptor; ``load_scorer`` restores it into a jitted callable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import DMTConfig
+from ..data.pipeline import IDS, LEN, WTS
+from ..data.schema import FeatureSchema
+from ..data.vocab import VocabSet
+from ..models.zoo import build_model
+from ..train.losses import scores_from_logits
+
+EPS = 1e-7
+
+
+def read_stat_vector(path: str, dim: int) -> np.ndarray:
+    """Tab-separated float vector (reference util.py:154-159)."""
+    with open(path) as f:
+        vals = [float(s.strip()) for s in f.readline().split("\t")]
+    assert len(vals) == dim, f"stat file {path}: {len(vals)} != {dim}"
+    return np.asarray(vals, np.float64)
+
+
+def norm_constants(mean: np.ndarray, std: np.ndarray):
+    """(scale, const_vec) of the online normalizer, float64 math like the
+    reference's preprocess session (preprocess.py:18-41)."""
+    std_eps = std + EPS
+    scale = std / (3.0 * std_eps * std_eps)
+    const_vec = mean * std / (3.0 * std_eps * std_eps) \
+        + mean * std / std_eps - mean
+    return scale.astype(np.float32), const_vec.astype(np.float32)
+
+
+def normalize_dense(raw: jnp.ndarray, scale: jnp.ndarray,
+                    const_vec: jnp.ndarray) -> jnp.ndarray:
+    x = jnp.clip(raw, 0.0, jnp.finfo(jnp.float32).max)
+    return jnp.clip(x * scale - const_vec, -0.99, 0.99)
+
+
+class ServingPreprocessor:
+    """Host-side request assembly: raw strings -> padded index batch.
+
+    i-side features are per-item (length = request batch); u-side features
+    are single-user and broadcast to every row (reference
+    online_build_sparsetensor tiling)."""
+
+    def __init__(self, cfg: DMTConfig, schema: Optional[FeatureSchema] = None):
+        self.cfg = cfg
+        self.schema = schema or FeatureSchema.from_config(cfg)
+        self.vocabs = VocabSet(cfg.embeddings + cfg.embeddings_bias,
+                               cfg.vocab_path)
+        self.ts_features = set(cfg.attention_ts)
+
+    def assemble(self, batch_size: int,
+                 id_values: dict[str, list[bytes]],
+                 id_wts: Optional[dict[str, list[float]]] = None,
+                 raw_features: Optional[np.ndarray] = None) -> dict:
+        id_wts = id_wts or {}
+        out: dict[str, np.ndarray] = {
+            "valid": np.ones((batch_size,), np.float32),
+            "mask": np.zeros((batch_size, self.schema.num_classes), np.float32),
+        }
+        if raw_features is not None:
+            out["raw_features"] = np.asarray(raw_features, np.float32)
+        for f in self.schema.id_features:
+            vals = id_values.get(f.name, [])
+            wts = list(id_wts.get(f.name, [1.0] * len(vals)))
+
+            def to_index(v) -> int:
+                if f.name in self.ts_features:
+                    try:
+                        return min(int(float(v)), 2**31 - 1)
+                    except ValueError:
+                        return 0
+                vocab = self.vocabs.by_feature[f.name]
+                return vocab.lookup_one(
+                    v if isinstance(v, bytes) else str(v).encode())
+
+            if f.side == "u":
+                # single-user sequence: map once, tile across the batch
+                k = min(len(vals), f.max_len)
+                ids_row = np.zeros((f.max_len,), np.int32)
+                wts_row = np.zeros((f.max_len,), np.float32)
+                for j in range(k):
+                    ids_row[j] = to_index(vals[j])
+                    wts_row[j] = wts[j] if j < len(wts) else 1.0
+                out[f.name + IDS] = np.tile(ids_row, (batch_size, 1))
+                out[f.name + WTS] = np.tile(wts_row, (batch_size, 1))
+                out[f.name + LEN] = np.full((batch_size,), k, np.int32)
+            else:
+                # i-side: one value per request row
+                per = np.zeros((batch_size, f.max_len), np.int32)
+                perw = np.zeros((batch_size, f.max_len), np.float32)
+                perl = np.zeros((batch_size,), np.int32)
+                for i in range(min(len(vals), batch_size)):
+                    per[i, 0] = to_index(vals[i])
+                    perw[i, 0] = wts[i] if i < len(wts) else 1.0
+                    perl[i] = 1
+                out[f.name + IDS] = per
+                out[f.name + WTS] = perw
+                out[f.name + LEN] = perl
+        return out
+
+
+class Scorer:
+    """Jitted scoring callable over an exported bundle."""
+
+    def __init__(self, cfg: DMTConfig, params, model_state,
+                 scale: np.ndarray, const_vec: np.ndarray):
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.params = params
+        self.model_state = model_state
+        self.scale = jnp.asarray(scale)
+        self.const_vec = jnp.asarray(const_vec)
+        w = cfg.export_weight
+        self._wsum = float(sum(w))
+        self._w = w
+        model = self.model
+
+        def score_fn(params, mstate, batch):
+            feats = normalize_dense(batch["raw_features"],
+                                    self.scale, self.const_vec)
+            b = dict(batch)
+            b["features"] = feats
+            out, _ = model.apply(params, mstate, b, train=False,
+                                 is_predict=True)
+            p_ctr, p_cvr = scores_from_logits(cfg, out, rel_only=True)
+            scores = (w[0] * p_ctr + w[1] * p_cvr) / self._wsum
+            return {"Scores": scores, "click_Scores": p_ctr,
+                    "order_Scores": p_cvr}
+
+        self._fn = jax.jit(score_fn)
+
+    def __call__(self, batch: dict) -> dict:
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        return {k: np.asarray(v) for k, v in self._fn(
+            self.params, self.model_state, jb).items()}
+
+
+def export_model(cfg: DMTConfig, ckpt_step: int,
+                 export_dir: Optional[str] = None) -> str:
+    """Bundle params + normalization constants + config descriptor.
+
+    Layout (replaces the TF SavedModel dir, export_model.py:121-137):
+        {export_dir}/params/        Orbax checkpoint (params + model_state)
+        {export_dir}/descriptor.json
+        {export_dir}/norm.npz       scale + const_vec
+    """
+    import orbax.checkpoint as ocp
+
+    from ..core.checkpoint import CheckpointManager
+    from ..train.evaluate import _template
+
+    export_dir = export_dir or os.path.join(
+        cfg.model_path, "frozen", f"ckpt-{ckpt_step}")
+    model = build_model(cfg)
+    mgr = CheckpointManager(cfg.model_path)
+    restored = mgr.restore(ckpt_step, _template(model))
+
+    mean = read_stat_vector(cfg.train_data_mean_path, cfg.feature_dimension)
+    std = read_stat_vector(cfg.train_data_std_path, cfg.feature_dimension)
+    scale, const_vec = norm_constants(mean, std)
+
+    os.makedirs(export_dir, exist_ok=True)
+    ocp.PyTreeCheckpointer().save(
+        os.path.join(export_dir, "params"),
+        {"params": restored["params"], "model_state": restored["model_state"]},
+        force=True)
+    np.savez(os.path.join(export_dir, "norm.npz"),
+             scale=scale, const_vec=const_vec)
+    with open(os.path.join(export_dir, "descriptor.json"), "w") as f:
+        json.dump({
+            "model_type": cfg.model_type,
+            "ckpt_step": ckpt_step,
+            "export_weight": list(cfg.export_weight),
+            "feature_dimension": cfg.feature_dimension,
+            "signature": {"inputs": "raw_features + id features",
+                          "outputs": ["Scores", "click_Scores", "order_Scores"]},
+        }, f, indent=2)
+    return export_dir
+
+
+def load_scorer(cfg: DMTConfig, export_dir: str) -> Scorer:
+    import orbax.checkpoint as ocp
+
+    from ..train.evaluate import _template
+
+    model = build_model(cfg)
+    template = _template(model)
+    tree = ocp.PyTreeCheckpointer().restore(
+        os.path.join(export_dir, "params"),
+        item={"params": template["params"],
+              "model_state": template["model_state"]})
+    norm = np.load(os.path.join(export_dir, "norm.npz"))
+    return Scorer(cfg, tree["params"], tree["model_state"],
+                  norm["scale"], norm["const_vec"])

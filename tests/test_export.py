@@ -1,0 +1,136 @@
+"""Serving-export tests: normalization math, u-side tiling, bundle
+round-trip, blended Scores."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from cikm2020_dmt_tpu.core.checkpoint import CheckpointManager
+from cikm2020_dmt_tpu.data.pipeline import IDS, LEN, WTS
+from cikm2020_dmt_tpu.serve.export import (ServingPreprocessor, Scorer,
+                                           export_model, load_scorer,
+                                           norm_constants, normalize_dense,
+                                           read_stat_vector)
+from cikm2020_dmt_tpu.train.loop import Trainer
+
+from conftest import DEMO_DATA, REFERENCE, needs_demo_data, make_demo_config
+
+MEAN = os.path.join(REFERENCE, "jd_recsys_demo/stat/mean/part-00000")
+STD = os.path.join(REFERENCE, "jd_recsys_demo/stat/std/part-00000")
+
+
+class TestNormalization:
+    def test_norm_constants_formula(self):
+        mean = np.array([1.0, 0.5], np.float64)
+        std = np.array([2.0, 0.1], np.float64)
+        scale, const = norm_constants(mean, std)
+        eps = 1e-7
+        want_scale = std / (3 * (std + eps) ** 2)
+        want_const = (mean * std / (3 * (std + eps) ** 2)
+                      + mean * std / (std + eps) - mean)
+        np.testing.assert_allclose(scale, want_scale.astype(np.float32), rtol=1e-6)
+        np.testing.assert_allclose(const, want_const.astype(np.float32), rtol=1e-6)
+
+    def test_normalize_clips(self):
+        scale = np.ones(3, np.float32)
+        const = np.zeros(3, np.float32)
+        import jax.numpy as jnp
+        out = np.asarray(normalize_dense(
+            jnp.asarray([-5.0, 0.5, 100.0]), jnp.asarray(scale),
+            jnp.asarray(const)))
+        # negative raw clipped to 0 first; output clipped to +-0.99
+        np.testing.assert_allclose(out, [0.0, 0.5, 0.99], rtol=1e-6)
+
+    @needs_demo_data
+    def test_reads_demo_stat_files(self):
+        mean = read_stat_vector(MEAN, 615)
+        std = read_stat_vector(STD, 615)
+        assert mean.shape == (615,) and std.shape == (615,)
+        scale, const = norm_constants(mean, std)
+        assert np.isfinite(scale).all() and np.isfinite(const).all()
+
+
+@needs_demo_data
+class TestServingPreprocessor:
+    def test_uside_tiled_iside_per_row(self):
+        cfg = make_demo_config()
+        prep = ServingPreprocessor(cfg)
+        batch = prep.assemble(
+            batch_size=3,
+            id_values={
+                "clk_seq_sku_7d_50": [b"24741889990", b"31802870586"],
+                "item_fea_sku": [b"1", b"2", b"3"],
+            })
+        # u-side sequence identical across rows
+        assert (batch["clk_seq_sku_7d_50" + IDS][0]
+                == batch["clk_seq_sku_7d_50" + IDS][2]).all()
+        assert batch["clk_seq_sku_7d_50" + LEN].tolist() == [2, 2, 2]
+        # i-side: one id per row
+        assert batch["item_fea_sku" + LEN].tolist() == [1, 1, 1]
+        ids = batch["item_fea_sku" + IDS][:, 0]
+        assert len(set(ids.tolist())) == 3
+
+    def test_ts_feature_raw_ints(self):
+        cfg = make_demo_config()
+        prep = ServingPreprocessor(cfg)
+        batch = prep.assemble(2, {"clk_seq_ts_7d_50": [b"1024", b"notanum"]})
+        assert batch["clk_seq_ts_7d_50" + IDS][0, 0] == 1024
+        assert batch["clk_seq_ts_7d_50" + IDS][0, 1] == 0
+
+
+@needs_demo_data
+class TestExportRoundtrip:
+    def test_export_and_score(self, tmp_path):
+        cfg = make_demo_config(
+            model_type="mmoe_transformer_unbias", batch_size=16,
+            validate_step=2, output_path=str(tmp_path),
+            train_data_mean_path=MEAN, train_data_std_path=STD,
+            epoch_num=1)
+        Trainer(cfg).train(data_path=DEMO_DATA, max_steps=2, log_every=100)
+        export_dir = export_model(cfg, 2)
+        assert os.path.exists(os.path.join(export_dir, "descriptor.json"))
+
+        scorer = load_scorer(cfg, export_dir)
+        prep = ServingPreprocessor(cfg)
+        B = 4
+        batch = prep.assemble(
+            B,
+            id_values={
+                "item_fea_sku": [b"1", b"2", b"3", b"4"],
+                "item_c2": [b"1584"] * B,
+                "item_c3": [b"13760"] * B,
+                "item_brand": [b"184144"] * B,
+                "item_shop": [b"753023"] * B,
+                "near_expo_seq_c2": [b"1583", b"1584"],
+                "near_expo_seq_c3": [b"1593", b"13790"],
+                "clk_seq_sku_7d_50": [b"24741889990"],
+                "clk_seq_c2_7d_50": [b"5019"],
+                "clk_seq_c3_7d_50": [b"15053"],
+                "clk_seq_brand_7d_50": [b"211780"],
+                "clk_seq_shop_7d_50": [b"207685"],
+                "clk_seq_ts_7d_50": [b"134638"],
+                "ord_seq_sku_12m_10": [b"48221645792"],
+                "ord_seq_c2_12m_10": [b"1583"],
+                "ord_seq_c3_12m_10": [b"1595"],
+                "ord_seq_brand_12m_10": [b"276817"],
+                "ord_seq_shop_12m_10": [b"138899"],
+                "ord_seq_ts_12m_10": [b"1467275"],
+                "cart_seq_sku_12m_10": [b"34560285023"],
+                "cart_seq_c2_12m_10": [b"1346"],
+                "cart_seq_c3_12m_10": [b"12023"],
+                "cart_seq_brand_12m_10": [b"235028"],
+                "cart_seq_shop_12m_10": [b"647108"],
+                "cart_seq_ts_12m_10": [b"6648465"],
+            },
+            raw_features=np.abs(np.random.default_rng(0).normal(
+                size=(B, 615))).astype(np.float32))
+        out = scorer(batch)
+        assert out["Scores"].shape == (B,)
+        assert np.isfinite(out["Scores"]).all()
+        assert (out["Scores"] >= 0).all() and (out["Scores"] <= 1).all()
+        # blended score formula (export_model.py:109-115)
+        w = cfg.export_weight
+        want = (w[0] * out["click_Scores"] + w[1] * out["order_Scores"]) / sum(w)
+        np.testing.assert_allclose(out["Scores"], want, rtol=1e-6)
