@@ -49,6 +49,10 @@ EPS = 1e-7
 
 def read_stat_vector(path: str, dim: int) -> np.ndarray:
     """Tab-separated float vector (reference util.py:154-159)."""
+    if not path:
+        raise ValueError(
+            "export needs train_data_mean_path / train_data_std_path set in "
+            "the [path] config section (online normalization constants)")
     with open(path) as f:
         vals = [float(s.strip()) for s in f.readline().split("\t")]
     assert len(vals) == dim, f"stat file {path}: {len(vals)} != {dim}"
@@ -186,8 +190,8 @@ def export_model(cfg: DMTConfig, ckpt_step: int,
     from ..core.checkpoint import CheckpointManager
     from ..train.evaluate import _template
 
-    export_dir = export_dir or os.path.join(
-        cfg.model_path, "frozen", f"ckpt-{ckpt_step}")
+    export_dir = os.path.abspath(export_dir or os.path.join(
+        cfg.model_path, "frozen", f"ckpt-{ckpt_step}"))
     model = build_model(cfg)
     mgr = CheckpointManager(cfg.model_path)
     restored = mgr.restore(ckpt_step, _template(model))
@@ -222,6 +226,7 @@ def load_scorer(cfg: DMTConfig, export_dir: str) -> Scorer:
 
     model = build_model(cfg)
     template = _template(model)
+    export_dir = os.path.abspath(export_dir)
     tree = ocp.PyTreeCheckpointer().restore(
         os.path.join(export_dir, "params"),
         item={"params": template["params"],
