@@ -63,7 +63,8 @@ def run_eval(cfg: DMTConfig, model: BaseModel, params, mstate,
     clk_scores: list[np.ndarray] = []
     ord_scores: list[np.ndarray] = []
     if data_iter is None:
-        data_iter = prefetch(batch_stream(
+        from .loop import make_input_stream
+        data_iter = prefetch(make_input_stream(
             cfg, data_path, batch_size, epochs=1, shuffle=False,
             drop_remainder=False, pad_remainder=True))
     for batch in data_iter:

@@ -26,6 +26,18 @@ from ..core.config import DMTConfig
 from ..core.logging import Throughput, log_line, log_to_file, timestamp
 from ..core.mesh import batch_sharding, build_mesh, param_shardings, replicated
 from ..data.pipeline import Batch, batch_stream, prefetch
+
+
+def make_input_stream(cfg, path_spec, batch_size, **kw):
+    """Native C++ pipeline when the toolchain can build it, else the pure
+    python fallback (identical batches, tests/test_native.py)."""
+    try:
+        from ..data.native import load_library, native_batch_stream
+        load_library()  # eager: generator bodies defer errors otherwise
+        return native_batch_stream(cfg, path_spec, batch_size, **kw)
+    except Exception as e:  # g++ missing / build failure
+        log_line(f"native data path unavailable ({e!r}); python fallback")
+        return batch_stream(cfg, path_spec, batch_size, **kw)
 from ..data.schema import FeatureSchema
 from ..metrics.streaming import (task_metrics_init, task_metrics_update,
                                  task_metrics_values)
@@ -174,10 +186,9 @@ class Trainer:
         tstate = self.shard_state(tstate)
 
         if data_iter is None:
-            num_hosts = jax.process_count()
-            data_iter = prefetch(batch_stream(
+            data_iter = prefetch(make_input_stream(
                 cfg, data_path, cfg.batch_size, epochs=cfg.epoch_num,
-                shuffle=True, num_shards=num_hosts,
+                shuffle=True, num_shards=jax.process_count(),
                 shard_index=jax.process_index()))
 
         step_fn = self._train_step()
