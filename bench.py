@@ -17,6 +17,7 @@ the reference publishes no throughput numbers at all, BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 CPU_BASELINE_EPS = 389.0  # examples/s, flagship step, this host's CPU
@@ -27,6 +28,12 @@ ITERS = 20
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: the axon remote-compile round trip is ~1min
+    # per executable, so cache across runs
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     import __graft_entry__ as g
     from cikm2020_dmt_tpu.metrics.streaming import task_metrics_init

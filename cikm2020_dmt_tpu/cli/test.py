@@ -16,11 +16,15 @@ from .args import build_parser, ckpt_step, load_config
 
 
 def main(argv=None) -> None:
-    args = build_parser("DMT TPU test/predict").parse_args(argv)
+    parser = build_parser("DMT TPU test/predict")
+    parser.add_argument("--grid_search", action="store_true",
+                        help="metrics2-style blend-weight sweep")
+    args = parser.parse_args(argv)
     cfg = load_config(args)
     results = predict(cfg, ckpt_step(args.model_ckpt),
                       test_tag=args.test_tag,
-                      test_score_method=args.test_score_method)
+                      test_score_method=args.test_score_method,
+                      grid_search=args.grid_search)
     for path, r in results.items():
         print(json.dumps({
             "path": path,

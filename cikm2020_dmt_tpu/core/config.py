@@ -230,6 +230,8 @@ class DMTConfig:
     attention_pairs: tuple[tuple[tuple[str, str], ...], ...] = ()
     attention_ts: tuple[str, ...] = ()
     sim_embed: tuple[tuple[str, str], ...] = ()
+    # warm-start DSL "Table:path#..." (reference recsys_conf.py:330-338)
+    update_emb: str = ""
 
     # default static length cap for uncapped multi-id features
     default_id_len: int = 10
@@ -428,6 +430,7 @@ class DMTConfig:
             attention_pairs=parse_attention_pairs(get("embedding", "attention_embed", "") or ""),
             attention_ts=parse_ts_features(get("embedding", "attention_embed_seq_ts", "") or ""),
             sim_embed=parse_sim_pairs(get("embedding", "sim_embed", "") or ""),
+            update_emb=get("embedding", "update_emb", "") or "",
             header_schema=tuple(s.strip() for s in (get("schema", "header_schema", ",".join(d.header_schema))).split(",")),
             output_path=get("path", "output_path", d.output_path) or "",
             summary_path=get("path", "summary_path", d.summary_path) or "",

@@ -1,0 +1,209 @@
+"""Extended offline metrics: score-blend grid search, weighted grouped AUC,
+per-head metrics, CSV dumps.
+
+Covers the reference's metrics2.py / metrics3.py feature set
+(reference metrics/metrics2.py:196-497, metrics3.py:20-302):
+
+- separate per-head P@N / MRR@N (click score scored against the click
+  threshold, order score against the order threshold; metrics2.py:614-665)
+- grid search over blended-score weights
+  score = (wc*clk + wo*ord)/(wc+wo), the reference's weight ladder
+  (metrics2.py:382), groups keyed by (uuid, sid) (metrics2.py:500-505);
+  best cell selected by click P@4 (metrics2.py:409-412)
+- mix (ungrouped) AUC, grouped AUC + clk/ord F1, and impression- /
+  click-weighted grouped AUC (weight = group size / #(label>=1);
+  metrics2.py:196-289)
+- CSV dump of header/score detail (metrics3.save_to_local, :92-110)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..core.logging import log_to_file
+from .offline import (AT_LIST, CLICK, ORDER, _auc_rank, _group_segments,
+                      _parse_headers, _sort_groups)
+
+# reference weight ladder (metrics2.py:382)
+GRID_WEIGHTS = ((1.0, 0.05), (1.0, 0.1), (1.0, 0.25), (1.0, 0.5),
+                (1.0, 1.0), (1.0, 2.0), (1.0, 4.0), (1.0, 8.0))
+
+
+def _keys_for(group_by, sids, uuids):
+    if group_by == "sid":
+        return sids
+    if group_by == "uuid":
+        return uuids
+    # (uuid, sid) composite (metrics2 split_group)
+    return np.array([u + "\x00" + s for u, s in zip(uuids, sids)], object)
+
+
+def precision_mrr_grouped(header_schema, headers, scores, *,
+                          group_by="sid", at_list=AT_LIST) -> dict:
+    """P@N / MRR@N with a configurable group key (sid / uuid / uuid+sid)."""
+    labels, sids, uuids = _parse_headers(header_schema, headers)
+    keys = _keys_for(group_by, sids, uuids)
+    scores = np.asarray(scores, np.float64)
+    order = _sort_groups(keys, scores, labels)
+    starts, ends = _group_segments(keys, order)
+    sorted_labels = labels[order]
+    n_groups = len(starts)
+
+    out = {}
+    for action in (CLICK, ORDER):
+        hits = (sorted_labels >= action).astype(np.float64)
+        chits = np.concatenate([[0.0], np.cumsum(hits)])
+        pre = np.zeros(len(at_list))
+        mrr = np.zeros(len(at_list))
+        for gi in range(n_groups):
+            s, e = starts[gi], ends[gi]
+            nz = np.flatnonzero(hits[s:e])
+            first = nz[0] + 1 if len(nz) else np.inf
+            glen = e - s
+            for ai, N in enumerate(at_list):
+                k = min(N, glen)
+                pre[ai] += (chits[s + k] - chits[s]) / k
+                if first <= k:
+                    mrr[ai] += 1.0 / first
+        out[action] = (pre / max(n_groups, 1), mrr / max(n_groups, 1))
+    return out
+
+
+def separate_metrics(header_schema, headers, clk_scores, ord_scores, *,
+                     group_by=("uuid", "sid")) -> dict:
+    """Per-head ranking metrics: each task ranked by its own score
+    (reference separate_mrr, metrics2.py:614-665)."""
+    clk = precision_mrr_grouped(header_schema, headers, clk_scores,
+                                group_by=group_by)
+    ordm = precision_mrr_grouped(header_schema, headers, ord_scores,
+                                 group_by=group_by)
+    return {CLICK: clk[CLICK], ORDER: ordm[ORDER]}
+
+
+def mix_auc(header_schema, headers, scores) -> dict:
+    """Ungrouped AUC over all rows (metrics2 get_offline_metrics_auc_mix)."""
+    labels, _, _ = _parse_headers(header_schema, headers)
+    scores = np.asarray(scores, np.float64)
+    return {a: _auc_rank((labels >= a).astype(np.int8), scores)
+            for a in (CLICK, ORDER)}
+
+
+def weighted_grouped_auc(header_schema, headers, scores, *,
+                         group_method: str = "uuid",
+                         weight_method: str = "impression") -> dict:
+    """Grouped AUC with per-group weights: group size ("impression") or
+    #(label>=1) ("click"); normalized by total weight
+    (reference metrics2.py:196-289)."""
+    labels, sids, uuids = _parse_headers(header_schema, headers)
+    keys = _keys_for(group_method, sids, uuids)
+    scores = np.asarray(scores, np.float64)
+    codes = np.unique(keys, return_inverse=True)[1]
+    order = np.argsort(codes, kind="mergesort")
+    starts, ends = _group_segments(keys, order)
+
+    out = {}
+    for action in (CLICK, ORDER):
+        y = (labels >= action).astype(np.int8)
+        any_click = (labels >= 1).astype(np.int64)
+        total, total_w = 0.0, 0.0
+        for gi in range(len(starts)):
+            seg = order[starts[gi]:ends[gi]]
+            if len(seg) == 1:
+                continue
+            if weight_method == "impression":
+                w = float(len(seg))
+            elif weight_method == "click":
+                w = float(any_click[seg].sum())
+            else:
+                w = 1.0
+            total += _auc_rank(y[seg], scores[seg]) * w
+            total_w += w
+        out[action] = total / total_w if total_w > 0 else 0.0
+    return out
+
+
+def grid_search(header_schema, headers, clk_scores, ord_scores, *,
+                weights: Sequence[tuple[float, float]] = GRID_WEIGHTS,
+                out_file: Optional[str] = None) -> dict:
+    """Blend-weight grid search (reference metrics2.get_offline_metrics,
+    :347-497).  Returns per-weight metric dicts + the best cell by click
+    P@4; optionally appends the reference-format report to ``out_file``."""
+    from .offline import grouped_auc
+
+    clk_scores = np.asarray(clk_scores, np.float64)
+    ord_scores = np.asarray(ord_scores, np.float64)
+
+    results: dict = {"cells": {}, "separate": separate_metrics(
+        header_schema, headers, clk_scores, ord_scores)}
+    if out_file:
+        sep = results["separate"]
+        lines = ["separate_metric"]
+        for action, (pre, mrr) in sep.items():
+            for n, p in zip(AT_LIST, pre):
+                lines.append(f"action_{action}_at_{n}: {p}")
+        log_to_file("\n".join(lines), out_file)
+
+    max_value, max_key = 0.0, ""
+    for wc, wo in weights:
+        blended = (wc * clk_scores + wo * ord_scores) / (wc + wo)
+        key = f"{wc}_{wo}"
+        pm = precision_mrr_grouped(header_schema, headers, blended,
+                                   group_by=("uuid", "sid"))
+        cell = {
+            "precision_mrr": pm,
+            "mix_auc": mix_auc(header_schema, headers, blended),
+            "grouped_auc": grouped_auc(header_schema, headers, blended, "uuid"),
+            "grouped_auc_impression": weighted_grouped_auc(
+                header_schema, headers, blended,
+                weight_method="impression"),
+            "grouped_auc_click": weighted_grouped_auc(
+                header_schema, headers, blended, weight_method="click"),
+        }
+        g = cell["grouped_auc"]
+        denom = g[CLICK] + g[ORDER]
+        cell["grouped_auc_f1"] = (2 * g[CLICK] * g[ORDER] / denom
+                                  if denom > 0 else 0.0)
+        results["cells"][key] = cell
+        # best by click P@4 (metrics2.py:409-412); AT_LIST[1] == 4
+        p_at_4 = pm[CLICK][0][AT_LIST.index(4)]
+        if p_at_4 > max_value:
+            max_value, max_key = float(p_at_4), key
+        if out_file:
+            lines = ["+" * 100, key]
+            for action, (pre, mrr) in pm.items():
+                for n, p in zip(AT_LIST, pre):
+                    lines.append(f"action_{action}_pre_at_{n}: {p}")
+                for n, m in zip(AT_LIST, mrr):
+                    lines.append(f"action_{action}_mrr_at_{n}: {m}")
+            lines.append(f"mix_user_auc_clk: {cell['mix_auc'][CLICK]}")
+            lines.append(f"mix_user_auc_ord: {cell['mix_auc'][ORDER]}")
+            lines.append(f"group_user_auc_clk: {g[CLICK]}")
+            lines.append(f"group_user_auc_ord: {g[ORDER]}")
+            lines.append(f"group_user_auc_f1_clk_ord: {cell['grouped_auc_f1']}")
+            gi = cell["grouped_auc_impression"]
+            lines.append(f"group_weightImpression_user_auc_clk: {gi[CLICK]}")
+            lines.append(f"group_weightImpression_user_auc_ord: {gi[ORDER]}")
+            gc = cell["grouped_auc_click"]
+            lines.append(f"group_weightClk_user_auc_clk: {gc[CLICK]}")
+            lines.append(f"group_weightClk_user_auc_ord: {gc[ORDER]}")
+            log_to_file("\n".join(lines), out_file)
+
+    results["max_key"] = max_key
+    results["max_value"] = max_value
+    if out_file:
+        log_to_file("+" * 100 + f"\nmax_key:{max_key}\nmax_value:{max_value}",
+                    out_file)
+    return results
+
+
+def save_scores_csv(path: str, header_schema, headers, clk_scores,
+                    ord_scores) -> None:
+    """Tab-separated score dump (reference metrics3.save_to_local,
+    :92-110): header fields + click/order scores, one row per example."""
+    labels, sids, uuids = _parse_headers(header_schema, headers)
+    with open(path, "w") as f:
+        f.write("uuid\tsid\tlabel\tclick_score\torder_score\n")
+        for u, s, l, c, o in zip(uuids, sids, labels, clk_scores, ord_scores):
+            f.write(f"{u}\t{s}\t{l}\t{c}\t{o}\n")

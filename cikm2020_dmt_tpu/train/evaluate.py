@@ -158,7 +158,8 @@ def _template(model: BaseModel):
 
 
 def predict(cfg: DMTConfig, ckpt_step: int, test_tag: str = "",
-            test_score_method: str = "rel") -> dict:
+            test_score_method: str = "rel",
+            grid_search: bool = False) -> dict:
     """Test role (reference predict(), run_dnn.py:635-897): score every test
     path, write result + detail files, compute offline metrics."""
     model = build_model(cfg)
@@ -209,4 +210,9 @@ def predict(cfg: DMTConfig, ckpt_step: int, test_tag: str = "",
             "overall_auc": {"click": oauc_clk[offline.CLICK],
                             "order": oauc_ord[offline.ORDER]},
         }
+        if grid_search:
+            # metrics2-style blend-weight sweep + per-head/weighted AUCs
+            from ..metrics.offline_ext import grid_search as run_grid
+            results[test_path]["grid"] = run_grid(
+                cfg.header_schema, headers, p_clk, p_ord, out_file=out_file)
     return results

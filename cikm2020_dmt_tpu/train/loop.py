@@ -171,7 +171,9 @@ class Trainer:
               max_steps: Optional[int] = None,
               resume_step: Optional[int] = None,
               log_every: int = 10,
-              data_iter: Optional[Iterator[Batch]] = None) -> dict:
+              data_iter: Optional[Iterator[Batch]] = None,
+              profile_dir: Optional[str] = None,
+              profile_steps: tuple[int, int] = (10, 15)) -> dict:
         """Chief training loop; returns final streaming metric values."""
         cfg = self.cfg
         data_path = data_path or cfg.train_data_path
@@ -183,6 +185,12 @@ class Trainer:
             tstate = self.ckpt.restore(resume_step, tstate)
             start_step = resume_step
             log_line(f"resumed from model.ckpt-{resume_step}")
+        elif cfg.update_emb:
+            # warm-start pretrained tables (reference run_dnn.py:298-299)
+            from .warmstart import parse_update_emb, warm_start_embeddings
+            tstate["params"] = warm_start_embeddings(
+                tstate["params"], parse_update_emb(cfg.update_emb))
+            log_line(f"warm-started embeddings: {cfg.update_emb}")
         tstate = self.shard_state(tstate)
 
         if data_iter is None:
@@ -195,10 +203,19 @@ class Trainer:
         metrics = task_metrics_init()
         meter = Throughput()
         rng = jax.random.PRNGKey(cfg.seed + 1)
+        profile_dir = profile_dir or os.environ.get("DMT_PROFILE_DIR")
         step = start_step
         for batch in data_iter:
             if step >= max_steps:
                 break
+            # optional jax.profiler trace window (SURVEY.md §5: the
+            # reference has no profiling; this is the TPU-native addition)
+            if profile_dir and step - start_step == profile_steps[0]:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and step - start_step == profile_steps[1]:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                log_line(f"profiler trace written to {profile_dir}")
             dev_batch = self.device_batch(batch)
             tstate, metrics, loss = step_fn(
                 tstate, metrics, dev_batch, jax.random.fold_in(rng, step))
