@@ -88,6 +88,17 @@ def attention_core(q, k, v, q_mask, k_mask, num_heads: int, *,
     return out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
 
 
+def _use_fused_kernel(train: bool, dropout: float, rng) -> bool:
+    """Pallas kernel serves the dropout-free path on TPU; the jnp reference
+    path keeps training-dropout randomness byte-compatible."""
+    import os
+    if os.environ.get("DMT_DISABLE_PALLAS"):
+        return False
+    if train and dropout > 0.0 and rng is not None:
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def mha_apply(params: Params, queries, keys, values, q_mask, k_mask, *,
               num_heads: int, dropout: float, train: bool,
               rng: Optional[jax.Array] = None) -> jnp.ndarray:
@@ -96,8 +107,12 @@ def mha_apply(params: Params, queries, keys, values, q_mask, k_mask, *,
     q = dense_apply(params["q"], queries)
     k = dense_apply(params["k"], keys)
     v = dense_apply(params["v"], values)
-    out = attention_core(q, k, v, q_mask, k_mask, num_heads,
-                         dropout=dropout, train=train, rng=rng)
+    if _use_fused_kernel(train, dropout, rng):
+        from ..ops.attention import fused_attention
+        out = fused_attention(q, k, v, q_mask, k_mask, num_heads)
+    else:
+        out = attention_core(q, k, v, q_mask, k_mask, num_heads,
+                             dropout=dropout, train=train, rng=rng)
     out = out + queries
     return layer_norm_apply(params["ln"], out)
 

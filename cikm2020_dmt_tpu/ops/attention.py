@@ -1,0 +1,245 @@
+"""Fused masked multi-head attention — Pallas TPU kernel with custom VJP.
+
+Covers the attention core of the Deep Interest Transformer
+(scores -> key-mask -> softmax -> query-zero -> context), the part XLA
+cannot fuse across MXU ops: without the kernel, the [B, H, Tq, Tk] score
+and probability tensors round-trip HBM twice per layer
+(reference equivalent: TransformerModel_util.py:11-56).
+
+Shapes are the DMT regime: Tk <= 50, d_model 80, 4 heads of 20.  The kernel
+pads T to the sublane tile and D to the 128-lane tile and exploits a
+head-masking identity to keep every matmul at full 128-lane contraction:
+
+    scores_h = (q * head_mask_h) @ k^T      (zero lanes kill cross-head terms)
+    ctx      = sum_h probs_h @ (v * head_mask_h)
+
+so per example the whole MHA core is 2*H dots on [Tp, 128] tiles resident
+in VMEM.  Backward recomputes probabilities (flash-style; cheap at T=50)
+inside a second kernel.
+
+The kernel serves the dropout-free path (inference/eval, and training with
+transformer_dropout_rate=0); with probability-dropout active the caller
+falls back to the jnp reference implementation
+(nn/transformer.py attention_core) so training-mode randomness stays
+byte-compatible with the non-kernel path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -(2.0 ** 32) + 1
+
+
+def _pad_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _head_masks(num_heads: int, d: int, dp: int) -> np.ndarray:
+    """[H, dp] one-hot lane masks selecting each head's d/H-wide slice."""
+    dh = d // num_heads
+    m = np.zeros((num_heads, dp), np.float32)
+    for h in range(num_heads):
+        m[h, h * dh:(h + 1) * dh] = 1.0
+    return m
+
+
+def _attention_fwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, hm_ref,
+                          o_ref, *, num_heads: int, scale: float):
+    """One batch example per program.
+
+    q: [Tqp, Dp], k/v: [Tkp, Dp], qm: [1, Tqp], km: [1, Tkp],
+    hm: [H, Dp] head masks, o: [Tqp, Dp].
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    qm = qm_ref[0]          # [1, Tqp]
+    km = km_ref[0]          # [1, Tkp]
+    hm = hm_ref[:]          # [H, Dp]
+
+    acc = jnp.zeros_like(q)
+    for h in range(num_heads):
+        mask_h = hm[h][None, :]                       # [1, Dp]
+        qh = q * mask_h
+        scores = jax.lax.dot_general(
+            qh, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [Tqp, Tkp]
+        scores = jnp.where(km > 0, scores, NEG_INF)
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        probs = probs * qm.reshape(-1, 1)             # query-zero rows
+        vh = v * mask_h
+        acc = acc + jnp.dot(probs, vh,
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = acc
+
+
+def _attention_bwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, hm_ref,
+                          do_ref, dq_ref, dk_ref, dv_ref, *,
+                          num_heads: int, scale: float):
+    """Recompute probs per head, then chain rule.
+
+    dprobs = do @ v_h^T;  dscores = probs * (dprobs - sum(dprobs*probs))
+    dq_h = dscores @ k * scale (lanes masked); dk_h = dscores^T @ q_h * scale
+    dv_h = probs^T @ do (lanes masked)
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    qm = qm_ref[0]
+    km = km_ref[0]
+    hm = hm_ref[:]
+    do = do_ref[0]
+
+    dq = jnp.zeros_like(q)
+    dk = jnp.zeros_like(k)
+    dv = jnp.zeros_like(v)
+    for h in range(num_heads):
+        mask_h = hm[h][None, :]
+        qh = q * mask_h
+        scores = jax.lax.dot_general(
+            qh, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(km > 0, scores, NEG_INF)
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        pq = probs * qm.reshape(-1, 1)
+
+        vh = v * mask_h
+        # dprobs via do (only head-h lanes of do contribute)
+        dprobs = jax.lax.dot_general(
+            do, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [Tqp, Tkp]
+        dpq = dprobs * qm.reshape(-1, 1)
+        # softmax backward on the un-query-masked probs
+        dscores = probs * (dpq - jnp.sum(dpq * probs, axis=-1, keepdims=True))
+        dq = dq + jnp.dot(dscores, k,
+                          preferred_element_type=jnp.float32) * scale * mask_h
+        dk = dk + jax.lax.dot_general(
+            dscores, qh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dv = dv + jax.lax.dot_general(
+            pq, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * mask_h
+    dq_ref[0] = dq
+    dk_ref[0] = dk
+    dv_ref[0] = dv
+
+
+def _pallas_call_fwd(qp, kp, vp, qmp, kmp, hm, num_heads, scale, interpret):
+    from jax.experimental import pallas as pl
+
+    B, Tqp, Dp = qp.shape
+    Tkp = kp.shape[1]
+    kernel = functools.partial(_attention_fwd_kernel,
+                               num_heads=num_heads, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Tqp, Dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Tkp, Dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Tkp, Dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Tqp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Tkp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((num_heads, Dp), lambda b: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Tqp, Dp), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Tqp, Dp), qp.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, qmp, kmp, hm)
+
+
+def _pallas_call_bwd(qp, kp, vp, qmp, kmp, hm, dop, num_heads, scale,
+                     interpret):
+    from jax.experimental import pallas as pl
+
+    B, Tqp, Dp = qp.shape
+    Tkp = kp.shape[1]
+    kernel = functools.partial(_attention_bwd_kernel,
+                               num_heads=num_heads, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Tqp, Dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Tkp, Dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Tkp, Dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Tqp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Tkp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((num_heads, Dp), lambda b: (0, 0)),
+            pl.BlockSpec((1, Tqp, Dp), lambda b: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Tqp, Dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Tkp, Dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Tkp, Dp), lambda b: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Tqp, Dp), qp.dtype),
+            jax.ShapeDtypeStruct((B, Tkp, Dp), kp.dtype),
+            jax.ShapeDtypeStruct((B, Tkp, Dp), vp.dtype),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, qmp, kmp, hm, dop)
+
+
+def _make_padded_op(true_dh: int):
+    """custom_vjp op closed over the true per-head dim (for the scale)."""
+    scale = 1.0 / math.sqrt(true_dh)
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+    def op(qp, kp, vp, qmp, kmp, hm, num_heads, interpret):
+        return _pallas_call_fwd(qp, kp, vp, qmp, kmp, hm, num_heads, scale,
+                                interpret)
+
+    def fwd(qp, kp, vp, qmp, kmp, hm, num_heads, interpret):
+        out = op(qp, kp, vp, qmp, kmp, hm, num_heads, interpret)
+        return out, (qp, kp, vp, qmp, kmp, hm)
+
+    def bwd(num_heads, interpret, res, do):
+        qp, kp, vp, qmp, kmp, hm = res
+        dq, dk, dv = _pallas_call_bwd(qp, kp, vp, qmp, kmp, hm, do,
+                                      num_heads, scale, interpret)
+        return (dq, dk, dv, jnp.zeros_like(qmp), jnp.zeros_like(kmp),
+                jnp.zeros_like(hm))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_op(true_dh: int):
+    return _make_padded_op(true_dh)
+
+
+def fused_attention(q, k, v, q_mask, k_mask, num_heads: int,
+                    interpret: bool = False):
+    """Drop-in for nn.transformer.attention_core (dropout-free path).
+
+    q: [B, Tq, D]; k, v: [B, Tk, D]; masks [B, T] (1=present).
+    Returns [B, Tq, D].
+    """
+    B, Tq, D = q.shape
+    Tk = k.shape[1]
+    sublane = 8  # f32 tile
+    Tqp, Tkp, Dp = _pad_to(Tq, sublane), _pad_to(Tk, sublane), _pad_to(D, 128)
+
+    qp = jnp.pad(q, ((0, 0), (0, Tqp - Tq), (0, Dp - D)))
+    kp = jnp.pad(k, ((0, 0), (0, Tkp - Tk), (0, Dp - D)))
+    vp = jnp.pad(v, ((0, 0), (0, Tkp - Tk), (0, Dp - D)))
+    qmp = jnp.pad(q_mask.astype(q.dtype), ((0, 0), (0, Tqp - Tq)))[:, None, :]
+    kmp = jnp.pad(k_mask.astype(q.dtype), ((0, 0), (0, Tkp - Tk)))[:, None, :]
+
+    hm = jnp.asarray(_head_masks(num_heads, D, Dp), q.dtype)
+    op = _cached_op(D // num_heads)
+    out = op(qp, kp, vp, qmp, kmp, hm, num_heads, interpret)
+    return out[:, :Tq, :D]
