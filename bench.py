@@ -40,7 +40,9 @@ def main() -> None:
     from cikm2020_dmt_tpu.train.loop import Trainer
 
     cfg = g._demo_config(sku_rows=5_000_000, batch_size=BATCH,
-                         validate_step=10**9)
+                         validate_step=10**9,
+                         compute_dtype=os.environ.get("DMT_BENCH_DTYPE",
+                                                      "bfloat16"))
     trainer = Trainer(cfg)
     tstate = trainer.shard_state(trainer.init_state())
     step_fn = trainer._train_step()

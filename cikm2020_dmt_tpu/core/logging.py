@@ -29,6 +29,22 @@ def log_line(msg: str) -> None:
     sys.stdout.flush()
 
 
+class SummaryWriter:
+    """Scalar summaries as JSONL (replaces the reference's TensorBoard
+    scalars, run_dnn.py:243-256,514-523; loadable with pandas/jq)."""
+
+    def __init__(self, summary_dir: str, run: str = "train"):
+        os.makedirs(summary_dir, exist_ok=True)
+        self.path = os.path.join(summary_dir, f"{run}.jsonl")
+
+    def scalars(self, step: int, values: dict) -> None:
+        import json
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"step": int(step), "time": timestamp(),
+                                **{k: float(v) for k, v in values.items()}})
+                    + "\n")
+
+
 class Throughput:
     """Examples/sec + step-time EMA."""
 

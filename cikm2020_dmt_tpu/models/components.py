@@ -133,7 +133,8 @@ def sequences_init(rng, cfg: DMTConfig, dtype=jnp.float32) -> Params:
 def sequence_interest(params: Params, emb: Params, batch: dict,
                       cfg: DMTConfig, *, train: bool,
                       rng: Optional[jax.Array] = None,
-                      engine: EmbeddingEngine = DENSE_ENGINE) -> jnp.ndarray:
+                      engine: EmbeddingEngine = DENSE_ENGINE,
+                      dtype=None) -> jnp.ndarray:
     """Concat of per-sequence user interest states [B, n_seq * d].
 
     Mirrors generate_data (mask/lens from the sequence feature, concat of
@@ -164,6 +165,9 @@ def sequence_interest(params: Params, emb: Params, batch: dict,
             tar_parts.append(tar[:, 0, :])  # single-id item feature
         seq_emb = jnp.concatenate(seq_parts, axis=-1)      # [B, L, 80]
         tar_emb = jnp.concatenate(tar_parts, axis=-1)      # [B, 80]
+        if dtype is not None:
+            seq_emb = seq_emb.astype(dtype)
+            tar_emb = tar_emb.astype(dtype)
 
         ts_emb = None
         if cfg.is_use_seq_ts and gi < len(cfg.attention_ts):
@@ -174,6 +178,8 @@ def sequence_interest(params: Params, emb: Params, batch: dict,
                                        emb[tspec.table].shape[0])
                 ts_emb = engine.seq(tspec.table, emb[tspec.table], buckets,
                                     cfg.zero_pad)
+                if dtype is not None:
+                    ts_emb = ts_emb.astype(dtype)
 
         p = params[f"seq{gi}"]
         if tc.is_trans_input_by_mlp:

@@ -50,9 +50,19 @@ class BaseModel:
         self.cfg = cfg
         self.schema = schema or FeatureSchema.from_config(cfg)
         self.dtype = jnp.dtype(cfg.param_dtype)
+        # MXU-friendly activation dtype (cfg.compute_dtype, usually
+        # bfloat16 on TPU); params stay in param_dtype, logits return f32
+        self.compute_dtype = jnp.dtype(cfg.compute_dtype)
         # embedding lookup engine; the Trainer swaps in the sharded engine
         # (parallel/embedding_shard.py) when the mesh has a model axis
         self.engine = DENSE_ENGINE
+
+    def _cast(self, x):
+        return x.astype(self.compute_dtype)
+
+    @staticmethod
+    def _f32(y):
+        return y.astype(jnp.float32)
 
     def init(self, rng) -> tuple[Params, State]:
         raise NotImplementedError
@@ -73,10 +83,11 @@ class MLP(BaseModel):
                         out_bias_init=0.0, dtype=self.dtype)
 
     def apply(self, params, state, batch, *, train, rng=None, is_predict=False):
-        return mlp_apply(params, state, batch["features"],
-                         keep_probs=self.cfg.dropout, train=train,
-                         is_bn=self.cfg.is_bn, is_dropout=self.cfg.is_dropout,
-                         bn_decay=self.cfg.bn_decay, rng=rng)
+        y, st = mlp_apply(params, state, self._cast(batch["features"]),
+                          keep_probs=self.cfg.dropout, train=train,
+                          is_bn=self.cfg.is_bn, is_dropout=self.cfg.is_dropout,
+                          bn_decay=self.cfg.bn_decay, rng=rng)
+        return self._f32(y), st
 
 
 class EmbedMLP(BaseModel):
@@ -94,13 +105,13 @@ class EmbedMLP(BaseModel):
         return params, ({"mlp": st} if st else {})
 
     def apply(self, params, state, batch, *, train, rng=None, is_predict=False):
-        x = embedding_combiner(params["emb"], batch, self.cfg,
-                               engine=self.engine)
+        x = self._cast(embedding_combiner(params["emb"], batch, self.cfg,
+                                          engine=self.engine))
         y, st = mlp_apply(params["mlp"], state.get("mlp", {}), x,
                           keep_probs=self.cfg.dropout, train=train,
                           is_bn=self.cfg.is_bn, is_dropout=self.cfg.is_dropout,
                           bn_decay=self.cfg.bn_decay, rng=rng)
-        return y, ({"mlp": st} if st else {})
+        return self._f32(y), ({"mlp": st} if st else {})
 
 
 class MultiTask(BaseModel):
@@ -143,12 +154,13 @@ class MultiTask(BaseModel):
     def apply(self, params, state, batch, *, train, rng=None, is_predict=False):
         cfg = self.cfg
         keys = jax.random.split(rng, 4) if rng is not None else [None] * 4
-        x = embedding_combiner(params["emb"], batch, cfg,
-                               engine=self.engine)
+        x = self._cast(embedding_combiner(params["emb"], batch, cfg,
+                                          engine=self.engine))
         if self.use_interest:
             interest = sequence_interest(params["trans"], params["emb"],
                                          batch, cfg, train=train, rng=keys[3],
-                                         engine=self.engine)
+                                         engine=self.engine,
+                                         dtype=self.compute_dtype)
             x = jnp.concatenate([x, interest], axis=-1)
         new_state: State = {}
         y, st = mlp_apply(params["bottom"], state.get("bottom", {}), x,
@@ -163,7 +175,7 @@ class MultiTask(BaseModel):
                                  cfg, train=train, rng=keys[2])
         if st_c:
             new_state["click"], new_state["order"] = st_c, st_o
-        return (clk, ordr), new_state
+        return (self._f32(clk), self._f32(ordr)), new_state
 
 
 class MMoE(BaseModel):
@@ -199,12 +211,13 @@ class MMoE(BaseModel):
 
     def _trunk(self, params, state, batch, *, train, keys):
         cfg = self.cfg
-        x = embedding_combiner(params["emb"], batch, cfg,
-                               engine=self.engine)
+        x = self._cast(embedding_combiner(params["emb"], batch, cfg,
+                                          engine=self.engine))
         if self.use_interest:
             interest = sequence_interest(params["trans"], params["emb"],
                                          batch, cfg, train=train, rng=keys[3],
-                                         engine=self.engine)
+                                         engine=self.engine,
+                                         dtype=self.compute_dtype)
             x = jnp.concatenate([x, interest], axis=-1)
         new_state: State = {}
         outs, st = mmoe_apply(params["mmoe"], state.get("mmoe", {}), x, cfg,
@@ -217,7 +230,7 @@ class MMoE(BaseModel):
                                  outs[1], cfg, train=train, rng=keys[2])
         if st_c:
             new_state["click"], new_state["order"] = st_c, st_o
-        return (clk, ordr), new_state
+        return (self._f32(clk), self._f32(ordr)), new_state
 
     def apply(self, params, state, batch, *, train, rng=None, is_predict=False):
         keys = jax.random.split(rng, 4) if rng is not None else [None] * 4
@@ -244,17 +257,18 @@ class Transformer(BaseModel):
     def apply(self, params, state, batch, *, train, rng=None, is_predict=False):
         cfg = self.cfg
         keys = jax.random.split(rng, 2) if rng is not None else [None] * 2
-        x = embedding_combiner(params["emb"], batch, cfg, skip_seq=True,
-                               engine=self.engine)
+        x = self._cast(embedding_combiner(params["emb"], batch, cfg,
+                                          skip_seq=True, engine=self.engine))
         interest = sequence_interest(params["trans"], params["emb"], batch,
                                      cfg, train=train, rng=keys[1],
-                                     engine=self.engine)
+                                     engine=self.engine,
+                                     dtype=self.compute_dtype)
         x = jnp.concatenate([x, interest], axis=-1)
         y, st = mlp_apply(params["mlp"], state.get("mlp", {}), x,
                           keep_probs=cfg.dropout, train=train,
                           is_bn=cfg.is_bn, is_dropout=cfg.is_dropout,
                           bn_decay=cfg.bn_decay, rng=keys[0])
-        return y, ({"mlp": st} if st else {})
+        return self._f32(y), ({"mlp": st} if st else {})
 
 
 class MultiTaskTransformer(MultiTask):
@@ -291,9 +305,9 @@ class MMoETransformerUnbias(MMoETransformer):
                                        keys=keys[:4])
         if is_predict:
             return y_rel, new_state
-        y_bias = bias_net_apply(params["bias_net"], batch, self.cfg,
-                                train=train, rng=keys[4],
-                                engine=self.engine)
+        y_bias = self._f32(bias_net_apply(params["bias_net"], batch, self.cfg,
+                                          train=train, rng=keys[4],
+                                          engine=self.engine))
         return (y_rel, y_bias), new_state
 
 

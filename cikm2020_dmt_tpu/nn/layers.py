@@ -230,8 +230,13 @@ def layer_norm_init(rng, dim: int, dtype=jnp.float32) -> Params:
 
 
 def layer_norm_apply(params: Params, x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """Reference ln (TransformerModel_util.py:58-78): eps inside the sqrt."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    normalized = (x - mean) / jnp.sqrt(var + eps)
+    """Reference ln (TransformerModel_util.py:58-78): eps inside the sqrt.
+
+    Statistics accumulate in float32 regardless of the compute dtype
+    (bf16-safe), output keeps the input dtype.
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    normalized = ((xf - mean) / jnp.sqrt(var + eps)).astype(x.dtype)
     return params["gamma"].astype(x.dtype) * normalized + params["beta"].astype(x.dtype)

@@ -230,7 +230,7 @@ def fused_attention(q, k, v, q_mask, k_mask, num_heads: int,
     """
     B, Tq, D = q.shape
     Tk = k.shape[1]
-    sublane = 8  # f32 tile
+    sublane = 16 if q.dtype == jnp.bfloat16 else 8  # dtype tile constraint
     Tqp, Tkp, Dp = _pad_to(Tq, sublane), _pad_to(Tk, sublane), _pad_to(D, 128)
 
     qp = jnp.pad(q, ((0, 0), (0, Tqp - Tq), (0, Dp - D)))

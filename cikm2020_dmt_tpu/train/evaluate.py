@@ -21,7 +21,7 @@ import numpy as np
 
 from ..core.checkpoint import CheckpointManager
 from ..core.config import DMTConfig
-from ..core.logging import log_line, log_to_file
+from ..core.logging import SummaryWriter, log_line, log_to_file
 from ..data.pipeline import Batch, batch_stream, prefetch
 from ..metrics import offline
 from ..metrics.streaming import (task_metrics_init, task_metrics_update,
@@ -118,6 +118,8 @@ def validation(cfg: DMTConfig, once: bool = False,
     result_path = cfg.validation_result_path
     step = newest_result_step(result_path)
     limit = max_steps if max_steps is not None else cfg.max_iter_step
+    summary = (SummaryWriter(cfg.summary_path, "validation")
+               if cfg.summary_path else None)
     last_vals = None
     while step < limit:
         new_step = ckpt.newest_step_after(step)
@@ -137,6 +139,8 @@ def validation(cfg: DMTConfig, once: bool = False,
         lines = [f">> iter_steps:{step}"] + [
             f"validation_{k}:{v}" for k, v in vals.items()]
         log_to_file("\n".join(lines), result_path)
+        if summary is not None:
+            summary.scalars(step, vals)
         # offline session metrics on sigma_clk + sigma_ord (run_dnn.py:617-629)
         _write_offline_metrics(cfg, headers, p_clk + p_ord, result_path)
         last_vals = vals

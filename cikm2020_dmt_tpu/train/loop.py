@@ -23,10 +23,18 @@ import optax
 
 from ..core.checkpoint import CheckpointManager
 from ..core.config import DMTConfig
-from ..core.logging import Throughput, log_line, log_to_file, timestamp
+from ..core.logging import (SummaryWriter, Throughput, log_line,
+                            log_to_file, timestamp)
 from ..core.mesh import batch_sharding, build_mesh, param_shardings, replicated
 from ..data.pipeline import Batch, batch_stream, prefetch
-
+from ..data.schema import FeatureSchema
+from ..metrics.streaming import (task_metrics_init, task_metrics_update,
+                                 task_metrics_values)
+from ..models.zoo import BaseModel, build_model
+from .losses import (l2_regularization, multi_task_loss,
+                     multi_task_unbias_loss, scores_from_logits,
+                     single_task_loss)
+from .optim import make_optimizer
 
 def make_input_stream(cfg, path_spec, batch_size, **kw):
     """Native C++ pipeline when the toolchain can build it, else the pure
@@ -38,16 +46,6 @@ def make_input_stream(cfg, path_spec, batch_size, **kw):
     except Exception as e:  # g++ missing / build failure
         log_line(f"native data path unavailable ({e!r}); python fallback")
         return batch_stream(cfg, path_spec, batch_size, **kw)
-from ..data.schema import FeatureSchema
-from ..metrics.streaming import (task_metrics_init, task_metrics_update,
-                                 task_metrics_values)
-from ..models.zoo import BaseModel, build_model
-from .losses import (l2_regularization, multi_task_loss,
-                     multi_task_unbias_loss, scores_from_logits,
-                     single_task_loss)
-from .optim import make_optimizer
-
-HOST_ONLY_KEYS = ()  # every Batch array goes to device
 
 
 def make_loss_fn(cfg: DMTConfig, model: BaseModel):
@@ -202,6 +200,8 @@ class Trainer:
         step_fn = self._train_step()
         metrics = task_metrics_init()
         meter = Throughput()
+        summary = (SummaryWriter(cfg.summary_path, "train")
+                   if cfg.summary_path else None)
         rng = jax.random.PRNGKey(cfg.seed + 1)
         profile_dir = profile_dir or os.environ.get("DMT_PROFILE_DIR")
         step = start_step
@@ -232,6 +232,10 @@ class Trainer:
                     f"{eps:.0f} ex/s ({step_time*1000:.0f} ms/step)")
             if step % cfg.validate_step == 0 or step == max_steps:
                 self._save(tstate, step, metrics)
+                if summary is not None:
+                    vals = task_metrics_values(metrics)
+                    vals["examples_per_sec"] = eps
+                    summary.scalars(step, vals)
         if step != start_step and not self.ckpt.has_step(step):
             self._save(tstate, step, metrics)
         return task_metrics_values(metrics)
