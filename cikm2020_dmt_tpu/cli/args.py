@@ -31,7 +31,35 @@ def load_config(args: argparse.Namespace, **overrides) -> DMTConfig:
     path = args.conf_file
     if not os.path.exists(path):
         path = os.path.join(args.conf_path, args.conf_file)
-    return DMTConfig.from_ini(path, **overrides)
+    cfg = DMTConfig.from_ini(path, **overrides)
+    return apply_label_stats(cfg)
+
+
+def apply_label_stats(cfg: DMTConfig) -> DMTConfig:
+    """Cap the step budget from the train label-count stat file
+    (reference recsys_conf.py:139-151: one count per line; total examples
+    = sum; max_iter_step = epochs * total / (batch * replicas))."""
+    import glob
+
+    import jax
+
+    path = cfg.train_data_stat_path
+    if not path:
+        return cfg
+    candidates = [path] if os.path.isfile(path) else \
+        sorted(glob.glob(os.path.join(path, "part-*")) +
+               glob.glob(os.path.join(path, "stat*")))
+    for cand in candidates:
+        try:
+            with open(cand) as f:
+                counts = tuple(int(line.strip()) for line in f
+                               if line.strip())
+            if counts:
+                return cfg.recompute_max_steps(
+                    counts, num_replicas=jax.process_count())
+        except (OSError, ValueError):
+            continue
+    return cfg
 
 
 def ckpt_step(name: str) -> int:

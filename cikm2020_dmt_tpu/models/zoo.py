@@ -318,8 +318,17 @@ MODEL_REGISTRY = {
 }
 
 
+def _register_baselines() -> None:
+    """Paper-baseline models (lr/wnd/dcn/din/dien) live in baselines.py;
+    deferred import breaks the zoo<->baselines cycle."""
+    from .baselines import DCN, DIEN, DIN, LR, WideAndDeep
+    for m in (LR, WideAndDeep, DCN, DIN, DIEN):
+        MODEL_REGISTRY.setdefault(m.name, m)
+
+
 def build_model(cfg: DMTConfig, schema: Optional[FeatureSchema] = None) -> BaseModel:
     """Dispatch by model_type (reference inference_mlp.py:25-68)."""
+    _register_baselines()
     try:
         cls = MODEL_REGISTRY[cfg.model_type]
     except KeyError:

@@ -63,7 +63,7 @@ def _attention_fwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, hm_ref,
     km = km_ref[0]          # [1, Tkp]
     hm = hm_ref[:]          # [H, Dp]
 
-    acc = jnp.zeros_like(q)
+    acc = jnp.zeros(q.shape, jnp.float32)
     for h in range(num_heads):
         mask_h = hm[h][None, :]                       # [1, Dp]
         qh = q * mask_h
@@ -76,9 +76,9 @@ def _attention_fwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, hm_ref,
         probs = e / jnp.sum(e, axis=-1, keepdims=True)
         probs = probs * qm.reshape(-1, 1)             # query-zero rows
         vh = v * mask_h
-        acc = acc + jnp.dot(probs, vh,
+        acc = acc + jnp.dot(probs.astype(v.dtype), vh,
                             preferred_element_type=jnp.float32)
-    o_ref[0] = acc
+    o_ref[0] = acc.astype(o_ref.dtype)
 
 
 def _attention_bwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, hm_ref,
@@ -98,9 +98,9 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, hm_ref,
     hm = hm_ref[:]
     do = do_ref[0]
 
-    dq = jnp.zeros_like(q)
-    dk = jnp.zeros_like(k)
-    dv = jnp.zeros_like(v)
+    dq = jnp.zeros(q.shape, jnp.float32)
+    dk = jnp.zeros(k.shape, jnp.float32)
+    dv = jnp.zeros(v.shape, jnp.float32)
     for h in range(num_heads):
         mask_h = hm[h][None, :]
         qh = q * mask_h
@@ -121,17 +121,18 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, hm_ref,
         dpq = dprobs * qm.reshape(-1, 1)
         # softmax backward on the un-query-masked probs
         dscores = probs * (dpq - jnp.sum(dpq * probs, axis=-1, keepdims=True))
-        dq = dq + jnp.dot(dscores, k,
+        ds = dscores.astype(q.dtype)
+        dq = dq + jnp.dot(ds, k,
                           preferred_element_type=jnp.float32) * scale * mask_h
         dk = dk + jax.lax.dot_general(
-            dscores, qh, (((0,), (0,)), ((), ())),
+            ds, qh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         dv = dv + jax.lax.dot_general(
-            pq, do, (((0,), (0,)), ((), ())),
+            pq.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * mask_h
-    dq_ref[0] = dq
-    dk_ref[0] = dk
-    dv_ref[0] = dv
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _pallas_call_fwd(qp, kp, vp, qmp, kmp, hm, num_heads, scale, interpret):

@@ -9,7 +9,10 @@ import pytest
 from cikm2020_dmt_tpu.data.pipeline import batch_stream
 from cikm2020_dmt_tpu.models.components import (bias_combiner_dim,
                                                 combiner_dim, interest_dim)
-from cikm2020_dmt_tpu.models.zoo import MODEL_REGISTRY, build_model
+from cikm2020_dmt_tpu.models.zoo import (MODEL_REGISTRY, _register_baselines,
+                                         build_model)
+
+_register_baselines()
 from cikm2020_dmt_tpu.train import losses
 
 from conftest import DEMO_DATA, needs_demo_data, make_demo_config
