@@ -205,37 +205,46 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed + 1)
         profile_dir = profile_dir or os.environ.get("DMT_PROFILE_DIR")
         step = start_step
-        for batch in data_iter:
-            if step >= max_steps:
-                break
-            # optional jax.profiler trace window (SURVEY.md §5: the
-            # reference has no profiling; this is the TPU-native addition)
-            if profile_dir and step - start_step == profile_steps[0]:
-                jax.profiler.start_trace(profile_dir)
-            if profile_dir and step - start_step == profile_steps[1]:
-                jax.block_until_ready(loss)
-                jax.profiler.stop_trace()
-                log_line(f"profiler trace written to {profile_dir}")
-            dev_batch = self.device_batch(batch)
-            tstate, metrics, loss = step_fn(
-                tstate, metrics, dev_batch, jax.random.fold_in(rng, step))
-            step += 1
-            step_time, eps = meter.tick(batch.size)
-            if step % log_every == 0 or step == max_steps:
-                vals = task_metrics_values(metrics)
-                log_line(
-                    f"step {step} | loss {float(loss):.6f} | "
-                    f"clk p/r/auc {vals['click_precision']:.4f}/"
-                    f"{vals['click_recall']:.4f}/{vals['click_auc']:.4f} | "
-                    f"ord p/r/auc {vals['order_precision']:.4f}/"
-                    f"{vals['order_recall']:.4f}/{vals['order_auc']:.4f} | "
-                    f"{eps:.0f} ex/s ({step_time*1000:.0f} ms/step)")
-            if step % cfg.validate_step == 0 or step == max_steps:
-                self._save(tstate, step, metrics)
-                if summary is not None:
+        eps = 0.0
+        try:
+            for batch in data_iter:
+                if step >= max_steps:
+                    break
+                # optional jax.profiler trace window (SURVEY.md §5: the
+                # reference has no profiling; this is the TPU-native addition)
+                if profile_dir and step - start_step == profile_steps[0]:
+                    jax.profiler.start_trace(profile_dir)
+                if profile_dir and step - start_step == profile_steps[1]:
+                    jax.block_until_ready(tstate["step"])
+                    jax.profiler.stop_trace()
+                    log_line(f"profiler trace written to {profile_dir}")
+                dev_batch = self.device_batch(batch)
+                tstate, metrics, loss = step_fn(
+                    tstate, metrics, dev_batch, jax.random.fold_in(rng, step))
+                step += 1
+                step_time, eps = meter.tick(batch.size)
+                if step % log_every == 0 or step == max_steps:
                     vals = task_metrics_values(metrics)
-                    vals["examples_per_sec"] = eps
-                    summary.scalars(step, vals)
+                    log_line(
+                        f"step {step} | loss {float(loss):.6f} | "
+                        f"clk p/r/auc {vals['click_precision']:.4f}/"
+                        f"{vals['click_recall']:.4f}/{vals['click_auc']:.4f} | "
+                        f"ord p/r/auc {vals['order_precision']:.4f}/"
+                        f"{vals['order_recall']:.4f}/{vals['order_auc']:.4f} | "
+                        f"{eps:.0f} ex/s ({step_time*1000:.0f} ms/step)")
+                if step % cfg.validate_step == 0 or step == max_steps:
+                    self._save(tstate, step, metrics)
+                    if summary is not None:
+                        vals = task_metrics_values(metrics)
+                        vals["examples_per_sec"] = eps
+                        summary.scalars(step, vals)
+        except KeyboardInterrupt:
+            # emergency checkpoint: an interrupted run resumes cleanly
+            # from --model_ckpt model.ckpt-<step>
+            if step != start_step and not self.ckpt.has_step(step):
+                log_line(f"interrupted at step {step}; saving emergency ckpt")
+                self._save(tstate, step, metrics)
+            raise
         if step != start_step and not self.ckpt.has_step(step):
             self._save(tstate, step, metrics)
         return task_metrics_values(metrics)
