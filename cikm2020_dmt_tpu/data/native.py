@@ -271,13 +271,30 @@ def native_batch_stream(
                     batch_size if (pad_remainder and len(take) < batch_size)
                     else None)
 
-    epoch_iter = range(epochs) if epochs >= 0 else iter(int, 1)
-    for _ in epoch_iter:
-        order = list(files)
-        if shuffle:
-            rng.shuffle(order)
-        for path in order:
-            blob, offs, lens = scan_file(path)
+    from concurrent.futures import ThreadPoolExecutor
+    readahead = ThreadPoolExecutor(max_workers=2)
+
+    def epoch_files():
+        epoch_iter = range(epochs) if epochs >= 0 else iter(int, 1)
+        for _ in epoch_iter:
+            order = list(files)
+            if shuffle:
+                rng.shuffle(order)
+            yield from order
+
+    # pipeline file reads 2 deep so IO overlaps parse
+    file_iter = epoch_files()
+    futures = []
+    for path in file_iter:
+        futures.append(readahead.submit(scan_file, path))
+        if len(futures) >= 2:
+            break
+    while futures:
+        blob, offs, lens = futures.pop(0).result()
+        nxt = next(file_iter, None)
+        if nxt is not None:
+            futures.append(readahead.submit(scan_file, nxt))
+        if True:
             bi = len(pend_blobs)
             pend_blobs.append((blob, offs, lens))
             recs = [(bi, ri) for ri in range(len(offs))]

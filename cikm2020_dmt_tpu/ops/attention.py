@@ -237,8 +237,10 @@ def fused_attention(q, k, v, q_mask, k_mask, num_heads: int,
     qp = jnp.pad(q, ((0, 0), (0, Tqp - Tq), (0, Dp - D)))
     kp = jnp.pad(k, ((0, 0), (0, Tkp - Tk), (0, Dp - D)))
     vp = jnp.pad(v, ((0, 0), (0, Tkp - Tk), (0, Dp - D)))
-    qmp = jnp.pad(q_mask.astype(q.dtype), ((0, 0), (0, Tqp - Tq)))[:, None, :]
-    kmp = jnp.pad(k_mask.astype(q.dtype), ((0, 0), (0, Tkp - Tk)))[:, None, :]
+    # masks stay float32: Mosaic only supports minor-dim-inserting reshapes
+    # (the [1,T] -> [T,1] broadcast inside the kernel) for 32-bit types
+    qmp = jnp.pad(q_mask.astype(jnp.float32), ((0, 0), (0, Tqp - Tq)))[:, None, :]
+    kmp = jnp.pad(k_mask.astype(jnp.float32), ((0, 0), (0, Tkp - Tk)))[:, None, :]
 
     hm = jnp.asarray(_head_masks(num_heads, D, Dp), q.dtype)
     op = _cached_op(D // num_heads)
