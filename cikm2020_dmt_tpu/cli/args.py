@@ -24,7 +24,20 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--max_steps", type=int, default=None,
                    help="override max_iter_step")
     p.add_argument("--log_every", type=int, default=10)
+    # multi-host bring-up (jax.distributed); single-process when omitted
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0")
     return p
+
+
+def maybe_init_distributed(args: argparse.Namespace) -> None:
+    from ..core.mesh import initialize_distributed
+    if args.num_processes and args.num_processes > 1:
+        initialize_distributed(coordinator=args.coordinator,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
 
 
 def load_config(args: argparse.Namespace, **overrides) -> DMTConfig:

@@ -11,11 +11,13 @@ from __future__ import annotations
 
 from ..core.logging import log_line
 from ..train.loop import Trainer
-from .args import build_parser, ckpt_step, load_config
+from .args import (build_parser, ckpt_step, load_config,
+                   maybe_init_distributed)
 
 
 def main(argv=None) -> None:
     args = build_parser("DMT TPU training (chief role)").parse_args(argv)
+    maybe_init_distributed(args)
     cfg = load_config(args)
     resume = ckpt_step(args.model_ckpt)
     trainer = Trainer(cfg)

@@ -21,15 +21,13 @@ sharded-update we want.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.config import DMTConfig
 from ..core.mesh import DATA_AXIS, MODEL_AXIS
-from ..nn.embedding import pooled_lookup, presence_mask, seq_lookup
+from ..nn.embedding import pooled_lookup, presence_mask, seq_lookup  # noqa: reused by engines
 
 
 def should_shard_table(cfg: DMTConfig, mesh: Mesh, rows: int) -> bool:

@@ -22,12 +22,11 @@ import numpy as np
 from ..core.checkpoint import CheckpointManager
 from ..core.config import DMTConfig
 from ..core.logging import SummaryWriter, log_line, log_to_file
-from ..data.pipeline import Batch, batch_stream, prefetch
+from ..data.pipeline import Batch, prefetch
 from ..metrics import offline
 from ..metrics.streaming import (task_metrics_init, task_metrics_update,
                                  task_metrics_values)
 from ..models.zoo import BaseModel, build_model
-from .loop import make_loss_fn
 from .losses import (multi_task_loss, multi_task_unbias_loss,
                      scores_from_logits, single_task_loss)
 
@@ -55,8 +54,16 @@ def make_eval_step(cfg: DMTConfig, model: BaseModel, rel_only: bool = False):
 
 def run_eval(cfg: DMTConfig, model: BaseModel, params, mstate,
              data_path: str, batch_size: int, *, rel_only: bool = False,
-             data_iter: Optional[Iterator[Batch]] = None):
-    """Drain an eval split; returns (metric values, headers, p_clk, p_ord)."""
+             data_iter: Optional[Iterator[Batch]] = None, mesh=None):
+    """Drain an eval split; returns (metric values, headers, p_clk, p_ord).
+
+    With ``mesh``, batches shard over the data axis and the sharded
+    embedding engine serves row-split tables (multi-chip eval)."""
+    if mesh is not None:
+        from ..core.mesh import batch_sharding
+        from ..parallel.embedding_shard import make_engine
+        model.engine = make_engine(cfg, mesh)
+        bsh = batch_sharding(mesh)
     step_fn = make_eval_step(cfg, model, rel_only)
     metrics = task_metrics_init()
     headers: list[bytes] = []
@@ -68,7 +75,10 @@ def run_eval(cfg: DMTConfig, model: BaseModel, params, mstate,
             cfg, data_path, batch_size, epochs=1, shuffle=False,
             drop_remainder=False, pad_remainder=True))
     for batch in data_iter:
-        jb = {k: jax.numpy.asarray(v) for k, v in batch.arrays.items()}
+        if mesh is not None:
+            jb = {k: jax.device_put(v, bsh) for k, v in batch.arrays.items()}
+        else:
+            jb = {k: jax.numpy.asarray(v) for k, v in batch.arrays.items()}
         metrics, p_ctr, p_cvr = step_fn(params, mstate, metrics, jb)
         n_valid = int(batch["valid"].sum())
         clk_scores.append(np.asarray(p_ctr)[:n_valid])

@@ -13,7 +13,6 @@ appends preserve the reference's chief/evaluator filesystem protocol.
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Iterator, Optional
 
 import jax
@@ -24,7 +23,7 @@ import optax
 from ..core.checkpoint import CheckpointManager
 from ..core.config import DMTConfig
 from ..core.logging import (SummaryWriter, Throughput, log_line,
-                            log_to_file, timestamp)
+                            log_to_file)
 from ..core.mesh import batch_sharding, build_mesh, param_shardings, replicated
 from ..data.pipeline import Batch, batch_stream, prefetch
 from ..data.schema import FeatureSchema

@@ -114,3 +114,31 @@ class TestShardedTrainStep:
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         import __graft_entry__ as g
         g.dryrun_multichip(8)
+
+
+class TestShardedEval:
+    def test_run_eval_on_mesh_matches_single_device(self):
+        """Multi-chip eval: run_eval with a 4x2 mesh must produce the same
+        scores as the single-device path."""
+        import jax
+        from cikm2020_dmt_tpu.models.zoo import build_model
+        from cikm2020_dmt_tpu.train.evaluate import run_eval
+        from conftest import DEMO_DATA
+        cfg = make_demo_config(mesh_data=4, mesh_model=2,
+                               shard_rows_threshold=1000,
+                               model_type="embed_mlp",
+                               validation_batch_size=64)
+        model = build_model(cfg)
+        params, state = model.init(jax.random.PRNGKey(0))
+        vals1, h1, c1, o1 = run_eval(cfg, model, params, state, DEMO_DATA,
+                                     batch_size=64)
+        mesh = build_mesh(cfg)
+        from cikm2020_dmt_tpu.core.mesh import param_shardings
+        sharded = jax.tree_util.tree_map(
+            jax.device_put, params, param_shardings(cfg, params, mesh))
+        vals2, h2, c2, o2 = run_eval(cfg, model, sharded, state, DEMO_DATA,
+                                     batch_size=64, mesh=mesh)
+        assert h1 == h2
+        np.testing.assert_allclose(c1, c2, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(vals1["click_auc"], vals2["click_auc"],
+                                   rtol=1e-4)
