@@ -163,6 +163,20 @@ class Trainer:
         sh = batch_sharding(self.mesh)
         return {k: jax.device_put(v, sh) for k, v in batch.arrays.items()}
 
+    def device_prefetch(self, data_iter: Iterator[Batch],
+                        depth: int = 2) -> Iterator[tuple[Batch, dict]]:
+        """Keep ``depth`` batches in flight to the device so host->device
+        transfer overlaps the previous step's compute (device_put is async;
+        consuming one step behind hides the copy latency)."""
+        import collections
+        queue: collections.deque = collections.deque()
+        for batch in data_iter:
+            queue.append((batch, self.device_batch(batch)))
+            if len(queue) >= depth:
+                yield queue.popleft()
+        while queue:
+            yield queue.popleft()
+
     # ------------------------------------------------------------------
     def train(self, data_path: Optional[str] = None,
               max_steps: Optional[int] = None,
@@ -206,7 +220,7 @@ class Trainer:
         step = start_step
         eps = 0.0
         try:
-            for batch in data_iter:
+            for batch, dev_batch in self.device_prefetch(data_iter):
                 if step >= max_steps:
                     break
                 # optional jax.profiler trace window (SURVEY.md §5: the
@@ -217,7 +231,6 @@ class Trainer:
                     jax.block_until_ready(tstate["step"])
                     jax.profiler.stop_trace()
                     log_line(f"profiler trace written to {profile_dir}")
-                dev_batch = self.device_batch(batch)
                 tstate, metrics, loss = step_fn(
                     tstate, metrics, dev_batch, jax.random.fold_in(rng, step))
                 step += 1
