@@ -299,9 +299,13 @@ def native_batch_stream(
             pend_blobs.append((blob, offs, lens))
             recs = [(bi, ri) for ri in range(len(offs))]
             if shuffle:
-                rng.shuffle(recs)
                 pending.extend(recs)
-                rng.shuffle(pending[-len(recs) * 2:])
+                # re-shuffle the tail window so records mix across the
+                # last two files (list-slice shuffle must be written back)
+                window = min(len(pending), len(recs) * 2)
+                tail = pending[-window:]
+                rng.shuffle(tail)
+                pending[-window:] = tail
             else:
                 pending.extend(recs)
             yield from flush(final=False)

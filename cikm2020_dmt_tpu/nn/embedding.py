@@ -69,7 +69,10 @@ def pooled_lookup(table: jnp.ndarray, ids: jnp.ndarray, wts: jnp.ndarray,
     """
     mask = presence_mask(wts, lens)
     w = wts * mask
-    emb = jnp.take(table, ids, axis=0)                    # [B, L, D]
+    # mode="clip": out-of-range ids clamp (TPU hardware behavior) instead
+    # of jnp's default NaN-fill on CPU — keeps lookups total and backends
+    # consistent; in-range ids are guaranteed by the vocab layer
+    emb = jnp.take(table, ids, axis=0, mode="clip")       # [B, L, D]
     weighted = jnp.einsum("bl,bld->bd", w.astype(emb.dtype), emb)
     if combiner == "sum":
         return weighted
@@ -81,7 +84,7 @@ def seq_lookup(table: jnp.ndarray, ids: jnp.ndarray, zero_pad: bool) -> jnp.ndar
     """Per-position lookup [B, L] -> [B, L, D]; zero_pad zeroes index-0 rows
     (padding / 'unknow') as in the reference transformer path
     (transformer.py:69-73 with base.py:87-89)."""
-    emb = jnp.take(table, ids, axis=0)
+    emb = jnp.take(table, ids, axis=0, mode="clip")
     if zero_pad:
         emb = jnp.where((ids > 0)[..., None], emb, 0.0)
     return emb

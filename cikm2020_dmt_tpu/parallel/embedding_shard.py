@@ -72,7 +72,8 @@ class ShardedEmbeddingEngine(EmbeddingEngine):
             lo = shard * rows_per_shard
             rel = ids_l - lo
             in_shard = (rel >= 0) & (rel < rows_per_shard)
-            emb = jnp.take(table_shard, jnp.where(in_shard, rel, 0), axis=0)
+            emb = jnp.take(table_shard, jnp.where(in_shard, rel, 0), axis=0,
+                           mode="clip")
             emb = jnp.where(in_shard[..., None], emb, 0.0)     # [b, L, D]
             mask = presence_mask(wts_l, lens_l)
             w = (wts_l * mask).astype(emb.dtype)
@@ -104,7 +105,8 @@ class ShardedEmbeddingEngine(EmbeddingEngine):
             in_shard = (rel >= 0) & (rel < rows_per_shard)
             if zero_pad:
                 in_shard = in_shard & (ids_l > 0)
-            emb = jnp.take(table_shard, jnp.where(in_shard, rel, 0), axis=0)
+            emb = jnp.take(table_shard, jnp.where(in_shard, rel, 0), axis=0,
+                           mode="clip")
             emb = jnp.where(in_shard[..., None], emb, 0.0)
             return jax.lax.psum(emb, MODEL_AXIS)               # [b, L, D]
 
