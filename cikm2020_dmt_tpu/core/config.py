@@ -264,6 +264,10 @@ class DMTConfig:
     # embedding tables with at least this many rows are row-sharded over the
     # "model" mesh axis; smaller tables are replicated
     shard_rows_threshold: int = 100_000
+    # drop per-id weight arrays from device batches and reconstruct them as
+    # presence masks on device (valid when every id weight is 1.0, which
+    # holds for the whole DMT feature set — halves host->device bytes)
+    unit_weights: bool = False
     mesh_data: int = 0   # 0 = auto: all devices not used by the model axis
     mesh_model: int = 1
 

@@ -30,7 +30,8 @@ from ..data.pipeline import IDS, LEN, WTS
 from ..nn.embedding import presence_mask
 from ..nn.layers import (Params, State, dense_apply, dense_init,
                          glorot_uniform, mlp_apply, mlp_init)
-from .components import combiner_dim, embedding_combiner, seq_input_dim
+from .components import (combiner_dim, embedding_combiner, feature_wts,
+                         seq_input_dim)
 from .zoo import BaseModel
 
 NEG_INF = -(2.0 ** 32) + 1
@@ -139,7 +140,9 @@ def _group_embeddings(emb, batch, cfg, gi, engine):
     spec_of = {s.feature: s for s in cfg.embeddings}
     group = cfg.attention_pairs[gi]
     first_user = group[0][0]
-    mask = presence_mask(batch[first_user + WTS], batch[first_user + LEN])
+    mask = presence_mask(
+        feature_wts(batch, first_user, batch[first_user + IDS]),
+        batch[first_user + LEN])
     seq_parts, tar_parts = [], []
     for user_feat, item_feat in group:
         uspec, ispec = spec_of[user_feat], spec_of[item_feat]

@@ -17,6 +17,17 @@ import jax.numpy as jnp
 
 from ..core.config import DMTConfig
 from ..data.pipeline import IDS, LEN, WTS
+
+
+def feature_wts(batch: dict, feature: str, ids) -> "jnp.ndarray":
+    """Per-id weights; reconstructed as a presence mask when the batch
+    omits them (cfg.unit_weights transfer optimization)."""
+    wts = batch.get(feature + WTS)
+    if wts is not None:
+        return wts
+    lens = batch[feature + LEN]
+    pos = jax.lax.broadcasted_iota(jnp.int32, ids.shape, ids.ndim - 1)
+    return (pos < lens[..., None]).astype(jnp.float32)
 from ..data.schema import FeatureSchema
 from ..nn.embedding import (collection_init, presence_mask, ts_bucketize)
 from ..parallel.embedding_shard import DENSE_ENGINE, EmbeddingEngine
@@ -76,7 +87,8 @@ def embedding_combiner(emb: Params, batch: dict, cfg: DMTConfig, *,
             ids = ts_bucketize(ids, emb[spec.table].shape[0])
         pooled = engine.pooled(
             spec.table, emb[spec.table], ids,
-            batch[spec.feature + WTS], batch[spec.feature + LEN])
+            feature_wts(batch, spec.feature, ids),
+            batch[spec.feature + LEN])
         if spec.feature in sim_wanted:
             sim_pool[spec.feature] = pooled
         parts.append(pooled)
@@ -148,8 +160,8 @@ def sequence_interest(params: Params, emb: Params, batch: dict,
         else [None] * len(cfg.attention_pairs)
     for gi, group in enumerate(cfg.attention_pairs):
         first_user = group[0][0]
-        wts = batch[first_user + WTS]
         lens = batch[first_user + LEN]
+        wts = feature_wts(batch, first_user, batch[first_user + IDS])
         mask = presence_mask(wts, lens)
 
         seq_parts, tar_parts = [], []
@@ -294,9 +306,11 @@ def bias_net_apply(params: Params, batch: dict, cfg: DMTConfig, *,
     emb = params["emb"]
     parts = []
     for spec in cfg.embeddings_bias:
+        ids = batch[spec.feature + IDS]
         parts.append(engine.pooled(
-            spec.table, emb[spec.table], batch[spec.feature + IDS],
-            batch[spec.feature + WTS], batch[spec.feature + LEN]))
+            spec.table, emb[spec.table], ids,
+            feature_wts(batch, spec.feature, ids),
+            batch[spec.feature + LEN]))
     y = jnp.concatenate(parts, axis=-1)
     p = params["mlp"]
     n = len(cfg.hidden_units_bias)

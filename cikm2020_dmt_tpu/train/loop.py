@@ -161,7 +161,12 @@ class Trainer:
 
     def device_batch(self, batch: Batch) -> dict:
         sh = batch_sharding(self.mesh)
-        return {k: jax.device_put(v, sh) for k, v in batch.arrays.items()}
+        arrays = batch.arrays
+        if self.cfg.unit_weights:
+            # weights reconstruct on device from lens (components.feature_wts)
+            arrays = {k: v for k, v in arrays.items()
+                      if not k.endswith("__wts")}
+        return {k: jax.device_put(v, sh) for k, v in arrays.items()}
 
     def device_prefetch(self, data_iter: Iterator[Batch],
                         depth: int = 2) -> Iterator[tuple[Batch, dict]]:
