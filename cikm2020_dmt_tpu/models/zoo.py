@@ -236,6 +236,25 @@ class MMoE(BaseModel):
         keys = jax.random.split(rng, 4) if rng is not None else [None] * 4
         return self._trunk(params, state, batch, train=train, keys=keys)
 
+    def gate_values(self, params, batch):
+        """Per-task expert-gate softmax [num_tasks, B, E] — the gate
+        introspection the reference's predict() fetches by tensor name
+        (run_dnn.py:721-725,777-814)."""
+        from .components import embedding_combiner, sequence_interest
+        cfg = self.cfg
+        x = self._cast(embedding_combiner(params["emb"], batch, cfg,
+                                          engine=self.engine))
+        if self.use_interest:
+            interest = sequence_interest(params["trans"], params["emb"],
+                                         batch, cfg, train=False,
+                                         engine=self.engine,
+                                         dtype=self.compute_dtype)
+            x = jnp.concatenate([x, interest], axis=-1)
+        from ..nn.layers import dense_apply
+        return jnp.stack([
+            jax.nn.softmax(dense_apply(g, x).astype(jnp.float32), axis=-1)
+            for g in params["mmoe"]["gates"]])
+
 
 class Transformer(BaseModel):
     """Single-logit deep-interest transformer (reference model/net/transformer.py):

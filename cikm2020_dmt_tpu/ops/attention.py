@@ -50,89 +50,108 @@ def _head_masks(num_heads: int, d: int, dp: int) -> np.ndarray:
 
 
 def _attention_fwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, hm_ref,
-                          o_ref, *, num_heads: int, scale: float):
-    """One batch example per program.
+                          o_ref, *, num_heads: int, scale: float,
+                          block: int):
+    """``block`` batch examples per program (amortizes grid overhead).
 
-    q: [Tqp, Dp], k/v: [Tkp, Dp], qm: [1, Tqp], km: [1, Tkp],
-    hm: [H, Dp] head masks, o: [Tqp, Dp].
+    q: [NB, Tqp, Dp], k/v: [NB, Tkp, Dp], qm: [NB, 1, Tqp],
+    km: [NB, 1, Tkp], hm: [H, Dp] head masks, o: [NB, Tqp, Dp].
     """
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    qm = qm_ref[0]          # [1, Tqp]
-    km = km_ref[0]          # [1, Tkp]
     hm = hm_ref[:]          # [H, Dp]
 
-    acc = jnp.zeros(q.shape, jnp.float32)
-    for h in range(num_heads):
-        mask_h = hm[h][None, :]                       # [1, Dp]
-        qh = q * mask_h
-        scores = jax.lax.dot_general(
-            qh, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # [Tqp, Tkp]
-        scores = jnp.where(km > 0, scores, NEG_INF)
-        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
-        probs = probs * qm.reshape(-1, 1)             # query-zero rows
-        vh = v * mask_h
-        acc = acc + jnp.dot(probs.astype(v.dtype), vh,
-                            preferred_element_type=jnp.float32)
-    o_ref[0] = acc.astype(o_ref.dtype)
+    def one_example(i, _):
+        q = q_ref[i]
+        k = k_ref[i]
+        v = v_ref[i]
+        qm = qm_ref[i]      # [1, Tqp]
+        km = km_ref[i]      # [1, Tkp]
+        acc = jnp.zeros(q.shape, jnp.float32)
+        for h in range(num_heads):
+            mask_h = hm[h][None, :]                   # [1, Dp]
+            qh = q * mask_h
+            scores = jax.lax.dot_general(
+                qh, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [Tqp, Tkp]
+            scores = jnp.where(km > 0, scores, NEG_INF)
+            scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            probs = probs * qm.reshape(-1, 1)         # query-zero rows
+            vh = v * mask_h
+            acc = acc + jnp.dot(probs.astype(v.dtype), vh,
+                                preferred_element_type=jnp.float32)
+        o_ref[i] = acc.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, block, one_example, 0)
 
 
 def _attention_bwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, hm_ref,
                           do_ref, dq_ref, dk_ref, dv_ref, *,
-                          num_heads: int, scale: float):
-    """Recompute probs per head, then chain rule.
+                          num_heads: int, scale: float, block: int):
+    """Recompute probs per head, then chain rule; ``block`` examples per
+    program.
 
     dprobs = do @ v_h^T;  dscores = probs * (dprobs - sum(dprobs*probs))
     dq_h = dscores @ k * scale (lanes masked); dk_h = dscores^T @ q_h * scale
     dv_h = probs^T @ do (lanes masked)
     """
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    qm = qm_ref[0]
-    km = km_ref[0]
     hm = hm_ref[:]
-    do = do_ref[0]
 
-    dq = jnp.zeros(q.shape, jnp.float32)
-    dk = jnp.zeros(k.shape, jnp.float32)
-    dv = jnp.zeros(v.shape, jnp.float32)
-    for h in range(num_heads):
-        mask_h = hm[h][None, :]
-        qh = q * mask_h
-        scores = jax.lax.dot_general(
-            qh, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(km > 0, scores, NEG_INF)
-        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
-        pq = probs * qm.reshape(-1, 1)
+    def one_example(i, _):
+        q = q_ref[i]
+        k = k_ref[i]
+        v = v_ref[i]
+        qm = qm_ref[i]
+        km = km_ref[i]
+        do = do_ref[i]
+        dq = jnp.zeros(q.shape, jnp.float32)
+        dk = jnp.zeros(k.shape, jnp.float32)
+        dv = jnp.zeros(v.shape, jnp.float32)
+        for h in range(num_heads):
+            mask_h = hm[h][None, :]
+            qh = q * mask_h
+            scores = jax.lax.dot_general(
+                qh, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            scores = jnp.where(km > 0, scores, NEG_INF)
+            scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            pq = probs * qm.reshape(-1, 1)
 
-        vh = v * mask_h
-        # dprobs via do (only head-h lanes of do contribute)
-        dprobs = jax.lax.dot_general(
-            do, vh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # [Tqp, Tkp]
-        dpq = dprobs * qm.reshape(-1, 1)
-        # softmax backward on the un-query-masked probs
-        dscores = probs * (dpq - jnp.sum(dpq * probs, axis=-1, keepdims=True))
-        ds = dscores.astype(q.dtype)
-        dq = dq + jnp.dot(ds, k,
-                          preferred_element_type=jnp.float32) * scale * mask_h
-        dk = dk + jax.lax.dot_general(
-            ds, qh, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        dv = dv + jax.lax.dot_general(
-            pq.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * mask_h
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+            vh = v * mask_h
+            # dprobs via do (only head-h lanes of do contribute)
+            dprobs = jax.lax.dot_general(
+                do, vh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [Tqp, Tkp]
+            dpq = dprobs * qm.reshape(-1, 1)
+            # softmax backward on the un-query-masked probs
+            dscores = probs * (dpq - jnp.sum(dpq * probs, axis=-1,
+                                             keepdims=True))
+            ds = dscores.astype(q.dtype)
+            dq = dq + jnp.dot(ds, k, preferred_element_type=jnp.float32) \
+                * scale * mask_h
+            dk = dk + jax.lax.dot_general(
+                ds, qh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dv = dv + jax.lax.dot_general(
+                pq.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * mask_h
+        dq_ref[i] = dq.astype(dq_ref.dtype)
+        dk_ref[i] = dk.astype(dk_ref.dtype)
+        dv_ref[i] = dv.astype(dv_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, block, one_example, 0)
+
+
+def _block_size(B: int) -> int:
+    """Examples per program: amortize grid overhead, cap VMEM footprint."""
+    for nb in (16, 8, 4, 2, 1):
+        if B % nb == 0:
+            return nb
+    return 1
 
 
 def _pallas_call_fwd(qp, kp, vp, qmp, kmp, hm, num_heads, scale, interpret):
@@ -140,20 +159,21 @@ def _pallas_call_fwd(qp, kp, vp, qmp, kmp, hm, num_heads, scale, interpret):
 
     B, Tqp, Dp = qp.shape
     Tkp = kp.shape[1]
+    nb = _block_size(B)
     kernel = functools.partial(_attention_fwd_kernel,
-                               num_heads=num_heads, scale=scale)
+                               num_heads=num_heads, scale=scale, block=nb)
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // nb,),
         in_specs=[
-            pl.BlockSpec((1, Tqp, Dp), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, Tkp, Dp), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, Tkp, Dp), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, Tqp), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, Tkp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, Tqp, Dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, Tkp, Dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, Tkp, Dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, 1, Tqp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, 1, Tkp), lambda b: (b, 0, 0)),
             pl.BlockSpec((num_heads, Dp), lambda b: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, Tqp, Dp), lambda b: (b, 0, 0)),
+        out_specs=pl.BlockSpec((nb, Tqp, Dp), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Tqp, Dp), qp.dtype),
         interpret=interpret,
     )(qp, kp, vp, qmp, kmp, hm)
@@ -165,24 +185,25 @@ def _pallas_call_bwd(qp, kp, vp, qmp, kmp, hm, dop, num_heads, scale,
 
     B, Tqp, Dp = qp.shape
     Tkp = kp.shape[1]
+    nb = _block_size(B)
     kernel = functools.partial(_attention_bwd_kernel,
-                               num_heads=num_heads, scale=scale)
+                               num_heads=num_heads, scale=scale, block=nb)
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // nb,),
         in_specs=[
-            pl.BlockSpec((1, Tqp, Dp), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, Tkp, Dp), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, Tkp, Dp), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, Tqp), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, Tkp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, Tqp, Dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, Tkp, Dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, Tkp, Dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, 1, Tqp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, 1, Tkp), lambda b: (b, 0, 0)),
             pl.BlockSpec((num_heads, Dp), lambda b: (0, 0)),
-            pl.BlockSpec((1, Tqp, Dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, Tqp, Dp), lambda b: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, Tqp, Dp), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, Tkp, Dp), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, Tkp, Dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, Tqp, Dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, Tkp, Dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, Tkp, Dp), lambda b: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Tqp, Dp), qp.dtype),

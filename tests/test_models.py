@@ -120,3 +120,15 @@ class TestScores:
         np.testing.assert_allclose(
             np.asarray(r_ctr),
             1 / (1 + np.exp(-np.asarray(clk).reshape(-1))), rtol=1e-5)
+
+
+@needs_demo_data
+class TestGateIntrospection:
+    def test_mmoe_gate_values(self, demo_batch):
+        cfg, model = _build("mmoe_transformer_unbias")
+        params, state = model.init(jax.random.PRNGKey(0))
+        gates = model.gate_values(params, demo_batch)
+        assert gates.shape == (2, B, cfg.num_experts)
+        # softmax rows sum to 1
+        np.testing.assert_allclose(np.asarray(gates).sum(-1),
+                                   np.ones((2, B)), rtol=1e-5)
