@@ -26,9 +26,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..data.pipeline import IDS, LEN, WTS
+from ..data.pipeline import IDS, LEN
 from ..nn.embedding import presence_mask
-from ..nn.layers import (Params, State, dense_apply, dense_init,
+from ..nn.layers import (Params, dense_apply, dense_init,
                          glorot_uniform, mlp_apply, mlp_init)
 from .components import (combiner_dim, embedding_combiner, feature_wts,
                          seq_input_dim)

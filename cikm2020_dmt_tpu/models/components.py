@@ -28,7 +28,6 @@ def feature_wts(batch: dict, feature: str, ids) -> "jnp.ndarray":
     lens = batch[feature + LEN]
     pos = jax.lax.broadcasted_iota(jnp.int32, ids.shape, ids.ndim - 1)
     return (pos < lens[..., None]).astype(jnp.float32)
-from ..data.schema import FeatureSchema
 from ..nn.embedding import (collection_init, presence_mask, ts_bucketize)
 from ..parallel.embedding_shard import DENSE_ENGINE, EmbeddingEngine
 from ..nn.layers import (Params, State, dense_apply, dense_init,
