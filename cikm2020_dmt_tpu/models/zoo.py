@@ -154,14 +154,20 @@ class MultiTask(BaseModel):
     def apply(self, params, state, batch, *, train, rng=None, is_predict=False):
         cfg = self.cfg
         keys = jax.random.split(rng, 4) if rng is not None else [None] * 4
-        x = self._cast(embedding_combiner(params["emb"], batch, cfg,
-                                          engine=self.engine))
         if self.use_interest:
-            interest = sequence_interest(params["trans"], params["emb"],
-                                         batch, cfg, train=train, rng=keys[3],
-                                         engine=self.engine,
-                                         dtype=self.compute_dtype)
+            # interest first: its raw gathers are reused by the pooled
+            # combiner (one gather + one backward scatter per table row)
+            interest, cache = sequence_interest(
+                params["trans"], params["emb"], batch, cfg, train=train,
+                rng=keys[3], engine=self.engine, dtype=self.compute_dtype,
+                return_cache=True)
+            x = self._cast(embedding_combiner(params["emb"], batch, cfg,
+                                              engine=self.engine,
+                                              seq_cache=cache))
             x = jnp.concatenate([x, interest], axis=-1)
+        else:
+            x = self._cast(embedding_combiner(params["emb"], batch, cfg,
+                                              engine=self.engine))
         new_state: State = {}
         y, st = mlp_apply(params["bottom"], state.get("bottom", {}), x,
                           keep_probs=cfg.dropout_bottom, train=train,
@@ -211,14 +217,20 @@ class MMoE(BaseModel):
 
     def _trunk(self, params, state, batch, *, train, keys):
         cfg = self.cfg
-        x = self._cast(embedding_combiner(params["emb"], batch, cfg,
-                                          engine=self.engine))
         if self.use_interest:
-            interest = sequence_interest(params["trans"], params["emb"],
-                                         batch, cfg, train=train, rng=keys[3],
-                                         engine=self.engine,
-                                         dtype=self.compute_dtype)
+            # interest first: its raw gathers are reused by the pooled
+            # combiner (one gather + one backward scatter per table row)
+            interest, cache = sequence_interest(
+                params["trans"], params["emb"], batch, cfg, train=train,
+                rng=keys[3], engine=self.engine, dtype=self.compute_dtype,
+                return_cache=True)
+            x = self._cast(embedding_combiner(params["emb"], batch, cfg,
+                                              engine=self.engine,
+                                              seq_cache=cache))
             x = jnp.concatenate([x, interest], axis=-1)
+        else:
+            x = self._cast(embedding_combiner(params["emb"], batch, cfg,
+                                              engine=self.engine))
         new_state: State = {}
         outs, st = mmoe_apply(params["mmoe"], state.get("mmoe", {}), x, cfg,
                               train=train, rng=keys[0])
@@ -276,12 +288,13 @@ class Transformer(BaseModel):
     def apply(self, params, state, batch, *, train, rng=None, is_predict=False):
         cfg = self.cfg
         keys = jax.random.split(rng, 2) if rng is not None else [None] * 2
+        interest, cache = sequence_interest(
+            params["trans"], params["emb"], batch, cfg, train=train,
+            rng=keys[1], engine=self.engine, dtype=self.compute_dtype,
+            return_cache=True)
         x = self._cast(embedding_combiner(params["emb"], batch, cfg,
-                                          skip_seq=True, engine=self.engine))
-        interest = sequence_interest(params["trans"], params["emb"], batch,
-                                     cfg, train=train, rng=keys[1],
-                                     engine=self.engine,
-                                     dtype=self.compute_dtype)
+                                          skip_seq=True, engine=self.engine,
+                                          seq_cache=cache))
         x = jnp.concatenate([x, interest], axis=-1)
         y, st = mlp_apply(params["mlp"], state.get("mlp", {}), x,
                           keep_probs=cfg.dropout, train=train,

@@ -80,6 +80,23 @@ def pooled_lookup(table: jnp.ndarray, ids: jnp.ndarray, wts: jnp.ndarray,
     return jnp.where(denom > 0, weighted / jnp.maximum(denom, 1e-12), 0.0)
 
 
+def pooled_from_grid(grid: jnp.ndarray, wts: jnp.ndarray,
+                     lens: jnp.ndarray, combiner: str = "mean") -> jnp.ndarray:
+    """Weighted pool over an already-gathered embedding grid [B, L, D].
+
+    Identical math to pooled_lookup, minus the gather — used to reuse the
+    sequence-path gathers for the pooled combiner so each big-table row is
+    fetched (and back-propagated) once per step instead of twice.
+    """
+    mask = presence_mask(wts, lens)
+    w = wts * mask
+    weighted = jnp.einsum("bl,bld->bd", w.astype(grid.dtype), grid)
+    if combiner == "sum":
+        return weighted
+    denom = jnp.sum(w, axis=-1, keepdims=True).astype(grid.dtype)
+    return jnp.where(denom > 0, weighted / jnp.maximum(denom, 1e-12), 0.0)
+
+
 def seq_lookup(table: jnp.ndarray, ids: jnp.ndarray, zero_pad: bool) -> jnp.ndarray:
     """Per-position lookup [B, L] -> [B, L, D]; zero_pad zeroes index-0 rows
     (padding / 'unknow') as in the reference transformer path
