@@ -1,0 +1,167 @@
+"""Sorted-unique row scatter: the fast path for embedding-gradient
+accumulation on TPU.
+
+Device traces show XLA's scatter-add processes ~0.13us per update row
+regardless of table size, layout, sortedness or dtype — serialized
+read-modify-write.  For embedding gradients we can do better:
+
+    1. sort the (id, grad-row) pairs by id          (bitonic, ~2 ms)
+    2. segment-sum runs of equal ids                 (VPU)
+    3. the surviving rows are UNIQUE -> the scatter needs no read-modify-
+       write at all; a Pallas kernel streams the rows into a zero-filled
+       gradient table with pipelined async DMA
+
+``segment_rows`` implements 1+2 as pure jnp; ``write_rows`` is the Pallas
+kernel; ``scatter_add_rows`` composes them into a drop-in replacement for
+``zeros.at[ids].add(rows)``.  The table gains one trash row (index R) that
+absorbs the padding slots left by deduplication.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_rows(ids: jnp.ndarray, rows: jnp.ndarray,
+                 num_rows: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sort by id and sum duplicate runs.
+
+    Returns (ids_out [N], rows_out [N, D]) where each distinct id appears
+    exactly once (carrying the summed row) and the remaining slots hold the
+    sentinel id ``num_rows`` with zero rows.
+    """
+    n = ids.shape[0]
+    order = jnp.argsort(ids)
+    sids = ids[order]
+    srows = rows[order]
+    # run starts
+    first = jnp.concatenate([jnp.ones((1,), bool), sids[1:] != sids[:-1]])
+    seg = jnp.cumsum(first) - 1                      # run index per element
+    summed = jax.ops.segment_sum(srows, seg, num_segments=n)
+    # one representative per run at position seg_start; everything else
+    # becomes the sentinel
+    rep_ids = jnp.where(first, sids, num_rows)
+    # compact: scatter the summed run values back onto the first-of-run
+    # positions (positions are already unique)
+    out_rows = jnp.where(first[:, None], summed[seg], 0.0)
+    return rep_ids.astype(jnp.int32), out_rows.astype(rows.dtype)
+
+
+def _write_rows_kernel(ids_hbm, rows_hbm, table_hbm, out_hbm, *,
+                       chunk: int, n: int, dpad: int):
+    """Stream unique rows into the table: per grid step, DMA a chunk of ids
+    into SMEM and a chunk of rows into VMEM, then issue one row-write DMA
+    per id with a small in-flight window.
+
+    ids arrive pre-chunked [n_chunks, chunk] and rows [n_chunks, chunk, D]
+    so per-step fetches index whole leading rows (dynamic 1-D slicing of
+    VMEM refs is not supported by Mosaic)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    step = pl.program_id(0)  # read outside run_scoped (interpret-mode req)
+
+    def body(ids_smem, rows_vmem, sem_ids, sem_rows, sem_w):
+        # fetch this chunk's ids + rows
+        cp_i = pltpu.make_async_copy(ids_hbm.at[step], ids_smem, sem_ids)
+        cp_r = pltpu.make_async_copy(rows_hbm.at[step], rows_vmem, sem_rows)
+        cp_i.start()
+        cp_r.start()
+        cp_i.wait()
+        cp_r.wait()
+
+        nslots = 8
+
+        def issue(i, _):
+            row_id = ids_smem[i]
+            w = pltpu.make_async_copy(
+                rows_vmem.at[pl.ds(i, 1), :],
+                out_hbm.at[pl.ds(row_id, 1), :],
+                sem_w.at[i % nslots])
+            # bound the in-flight window: wait for the slot's previous DMA
+            @pl.when(i >= nslots)
+            def _():
+                pltpu.make_async_copy(
+                    rows_vmem.at[pl.ds(i - nslots, 1), :],
+                    out_hbm.at[pl.ds(ids_smem[i - nslots], 1), :],
+                    sem_w.at[i % nslots]).wait()
+            w.start()
+            return 0
+
+        jax.lax.fori_loop(0, chunk, issue, 0)
+        # drain
+        def drain(k, _):
+            i = chunk - nslots + k
+            @pl.when(i >= 0)
+            def _():
+                pltpu.make_async_copy(
+                    rows_vmem.at[pl.ds(i, 1), :],
+                    out_hbm.at[pl.ds(ids_smem[i], 1), :],
+                    sem_w.at[i % nslots]).wait()
+            return 0
+        jax.lax.fori_loop(0, nslots, drain, 0)
+
+    pl.run_scoped(
+        body,
+        ids_smem=pltpu.SMEM((chunk,), jnp.int32),
+        rows_vmem=pltpu.VMEM((chunk, dpad), rows_hbm.dtype),
+        sem_ids=pltpu.SemaphoreType.DMA(()),
+        sem_rows=pltpu.SemaphoreType.DMA(()),
+        sem_w=pltpu.SemaphoreType.DMA((8,)),
+    )
+
+
+def write_rows(ids: jnp.ndarray, rows: jnp.ndarray, num_rows: int,
+               interpret: bool = False) -> jnp.ndarray:
+    """[N] unique ids + [N, D] rows -> zero table [num_rows+1, D] with the
+    rows placed (sentinel id == num_rows lands in the trash row)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = rows.shape
+    dpad = ((d + 127) // 128) * 128
+    if dpad != d:
+        rows = jnp.pad(rows, ((0, 0), (0, dpad - d)))
+    chunk = 512
+    npad = ((n + chunk - 1) // chunk) * chunk
+    if npad != n:
+        ids = jnp.pad(ids, (0, npad - n), constant_values=num_rows)
+        rows = jnp.pad(rows, ((0, npad - n), (0, 0)))
+    # pre-chunk for whole-leading-row DMA fetches inside the kernel
+    ids = ids.reshape(npad // chunk, chunk)
+    rows = rows.reshape(npad // chunk, chunk, dpad)
+
+    table = jnp.zeros((num_rows + 1, dpad), rows.dtype)
+    kernel = functools.partial(_write_rows_kernel, chunk=chunk, n=npad,
+                               dpad=dpad)
+
+    def outer(ids_ref, rows_ref, table_ref, out_ref):
+        kernel(ids_ref, rows_ref, table_ref, out_ref)
+
+    out = pl.pallas_call(
+        outer,
+        grid=(npad // chunk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((num_rows + 1, dpad), rows.dtype),
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(ids, rows, table)
+    return out[:num_rows, :d]
+
+
+def scatter_add_rows(ids: jnp.ndarray, rows: jnp.ndarray, num_rows: int,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for ``jnp.zeros((num_rows, D)).at[ids].add(rows)`` built from
+    sort + segment-sum + unique-row writes."""
+    uids, urows = segment_rows(ids.reshape(-1),
+                               rows.reshape(-1, rows.shape[-1]), num_rows)
+    return write_rows(uids, urows, num_rows, interpret=interpret)

@@ -1,0 +1,60 @@
+"""Sorted-unique scatter tests (ops/scatter_rows): segment dedup math and
+the Pallas row-writer in interpret mode."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cikm2020_dmt_tpu.ops.scatter_rows import (scatter_add_rows,
+                                               segment_rows, write_rows)
+
+
+class TestSegmentRows:
+    def test_dedup_sums_duplicates(self, rng):
+        N, R, D = 500, 64, 8
+        ids = rng.integers(0, R, N).astype(np.int32)
+        rows = rng.normal(size=(N, D)).astype(np.float32)
+        uids, urows = segment_rows(jnp.asarray(ids), jnp.asarray(rows), R)
+        uids, urows = np.asarray(uids), np.asarray(urows)
+        # every real id appears exactly once
+        real = uids[uids < R]
+        assert len(real) == len(np.unique(ids))
+        assert len(np.unique(real)) == len(real)
+        # summed rows match numpy accumulation
+        want = np.zeros((R, D), np.float32)
+        np.add.at(want, ids, rows)
+        got = np.zeros((R + 1, D), np.float32)
+        np.add.at(got, uids, urows)
+        np.testing.assert_allclose(got[:R], want, rtol=2e-5, atol=1e-4)
+
+    def test_sentinel_rows_are_zero(self, rng):
+        ids = np.array([3, 3, 3, 7], np.int32)
+        rows = np.ones((4, 4), np.float32)
+        uids, urows = segment_rows(jnp.asarray(ids), jnp.asarray(rows), 10)
+        uids, urows = np.asarray(uids), np.asarray(urows)
+        sentinel = uids == 10
+        assert sentinel.sum() == 2  # 4 slots - 2 unique ids
+        np.testing.assert_array_equal(urows[sentinel], 0.0)
+
+
+class TestWriteRows:
+    def test_unique_write(self, rng):
+        R, D, N = 300, 32, 128
+        ids = np.sort(rng.choice(R, N, replace=False)).astype(np.int32)
+        rows = rng.normal(size=(N, D)).astype(np.float32)
+        out = write_rows(jnp.asarray(ids), jnp.asarray(rows), R,
+                         interpret=True)
+        want = np.zeros((R, D), np.float32)
+        want[ids] = rows
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
+
+    def test_scatter_add_rows_matches_at_add(self, rng):
+        R, D, N = 200, 16, 1000
+        ids = rng.integers(0, R, N).astype(np.int32)
+        rows = rng.normal(size=(N, D)).astype(np.float32)
+        want = np.zeros((R, D), np.float32)
+        np.add.at(want, ids, rows)
+        got = scatter_add_rows(jnp.asarray(ids), jnp.asarray(rows), R,
+                               interpret=True)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
+                                   atol=1e-4)
