@@ -165,3 +165,83 @@ def scatter_add_rows(ids: jnp.ndarray, rows: jnp.ndarray, num_rows: int,
     uids, urows = segment_rows(ids.reshape(-1),
                                rows.reshape(-1, rows.shape[-1]), num_rows)
     return write_rows(uids, urows, num_rows, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# VMEM-tiled one-hot scatter (BlockSpec-only — compiles where the DMA kernel
+# cannot): sorted updates -> per-table-tile MXU one-hot matmul accumulate.
+# ---------------------------------------------------------------------------
+
+
+def _tiled_scatter_kernel(starts_ref, ids0_ref, ids1_ref, r0_ref, r1_ref,
+                          out_ref, *, tile: int, wblk: int):
+    """Tile t accumulates the sorted updates that land in its row range via
+    onehot^T @ rows on the MXU.
+
+    ids/rows arrive as two consecutive wblk-sized windows chosen by the
+    prefetched per-tile start offset; updates outside the tile's row range
+    (or belonging to neighbor tiles) zero out in the one-hot."""
+    from jax.experimental import pallas as pl
+
+    tidx = pl.program_id(0)
+    lo = tidx * tile
+    ids = jnp.concatenate([ids0_ref[:, 0], ids1_ref[:, 0]])      # [2*wblk]
+    rows = jnp.concatenate([r0_ref[:], r1_ref[:]], axis=0)       # [2*wblk, D]
+    rel = ids - lo                                               # [2*wblk]
+    rcol = jax.lax.broadcasted_iota(jnp.int32, (2 * wblk, tile), 1)
+    oh = (rel[:, None] == rcol).astype(rows.dtype)               # [2W, tile]
+    acc = jax.lax.dot_general(
+        oh, rows, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                      # [tile, D]
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def tiled_scatter_add(ids_sorted: jnp.ndarray, rows_sorted: jnp.ndarray,
+                      num_rows: int, tile: int = 512, wblk: int = 1024,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Dense scatter-add of SORTED updates via per-tile one-hot matmuls.
+
+    Precondition: per-tile update count <= wblk (checked by the caller via
+    ``jnp.diff(starts)``; fall back to .at[].add otherwise).  Returns
+    [num_rows_padded, D] where num_rows_padded = ceil(num_rows/tile)*tile;
+    caller slices.
+    """
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = rows_sorted.shape
+    n_tiles = (num_rows + tile - 1) // tile
+    rpad = n_tiles * tile
+    # pad updates so every window read is in bounds
+    npad = ((n + wblk - 1) // wblk + 1) * wblk
+    ids_p = jnp.pad(ids_sorted, (0, npad - n),
+                    constant_values=jnp.int32(rpad + 1))
+    rows_p = jnp.pad(rows_sorted, ((0, npad - n), (0, 0)))
+    ids2d = ids_p.reshape(-1, 1)
+
+    # per-tile start offset into the sorted stream, in wblk block units
+    starts = jnp.searchsorted(ids_p, jnp.arange(n_tiles, dtype=jnp.int32)
+                              * tile).astype(jnp.int32)
+    blk0 = jnp.minimum(starts // wblk, npad // wblk - 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((wblk, 1), lambda i, b: (b[i], 0)),
+            pl.BlockSpec((wblk, 1), lambda i, b: (b[i] + 1, 0)),
+            pl.BlockSpec((wblk, d), lambda i, b: (b[i], 0)),
+            pl.BlockSpec((wblk, d), lambda i, b: (b[i] + 1, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, d), lambda i, b: (i, 0)),
+    )
+    kernel = _ft.partial(_tiled_scatter_kernel, tile=tile, wblk=wblk)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rpad, d), rows_sorted.dtype),
+        interpret=interpret,
+    )(blk0, ids2d, ids2d, rows_p, rows_p)
+    return out

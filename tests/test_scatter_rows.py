@@ -58,3 +58,17 @@ class TestWriteRows:
                                interpret=True)
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
                                    atol=1e-4)
+
+
+class TestTiledScatter:
+    def test_tiled_matches_at_add(self, rng):
+        from cikm2020_dmt_tpu.ops.scatter_rows import tiled_scatter_add
+        R, D, N = 4096, 32, 2000
+        ids = np.sort(rng.integers(0, R, N)).astype(np.int32)
+        rows = rng.normal(size=(N, D)).astype(np.float32)
+        want = np.zeros((R, D), np.float32)
+        np.add.at(want, ids, rows)
+        got = tiled_scatter_add(jnp.asarray(ids), jnp.asarray(rows), R,
+                                interpret=True)
+        np.testing.assert_allclose(np.asarray(got)[:R], want, rtol=2e-5,
+                                   atol=1e-4)
