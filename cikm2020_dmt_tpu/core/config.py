@@ -268,6 +268,14 @@ class DMTConfig:
     # presence masks on device (valid when every id weight is 1.0, which
     # holds for the whole DMT feature set — halves host->device bytes)
     unit_weights: bool = False
+    # dedup embedding gradients before the scatter-add for tables with at
+    # least dedup_rows_threshold rows (TPU scatter is 0.13us/row serialized;
+    # ranking traffic is Zipfian — 19.7x sku duplication measured on demo
+    # batches).  Budget = update_count // dedup_budget_div unique rows;
+    # overflow falls back to the plain scatter inside a lax.cond.
+    dedup_grads: bool = True
+    dedup_rows_threshold: int = 1_000_000
+    dedup_budget_div: int = 4
     mesh_data: int = 0   # 0 = auto: all devices not used by the model axis
     mesh_model: int = 1
 

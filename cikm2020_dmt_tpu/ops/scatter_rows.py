@@ -245,3 +245,64 @@ def tiled_scatter_add(ids_sorted: jnp.ndarray, rows_sorted: jnp.ndarray,
         interpret=interpret,
     )(blk0, ids2d, ids2d, rows_p, rows_p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Dedup-gradient gather: custom VJP whose backward sorts + segment-sums the
+# cotangent rows so the (serialized, 0.13us/row) scatter only touches the
+# UNIQUE ids.  Real ranking batches are heavily Zipfian (measured 19.7x
+# duplication for sku ids on the JD demo at batch 4096), so the unique
+# count is a small fraction of the update count.
+# ---------------------------------------------------------------------------
+
+
+def _dedup_grad_table(ids_flat: jnp.ndarray, g_flat: jnp.ndarray,
+                      num_rows: int, budget: int) -> jnp.ndarray:
+    """Dense [num_rows, D] gradient via sort+segment-sum+budgeted scatter;
+    falls back to the plain full scatter when unique ids exceed ``budget``
+    (both branches compile; the fast one runs when real data dedups)."""
+    n = ids_flat.shape[0]
+    d = g_flat.shape[-1]
+    order = jnp.argsort(ids_flat)
+    sids = ids_flat[order]
+    sg = g_flat[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), sids[1:] != sids[:-1]])
+    seg = jnp.cumsum(first) - 1
+    nuniq = seg[-1] + 1
+    summed = jax.ops.segment_sum(sg, seg, num_segments=n)       # run-indexed
+    run_ids = jax.ops.segment_max(sids, seg, num_segments=n)
+    valid = jnp.arange(n) < nuniq
+    run_ids = jnp.where(valid, run_ids, num_rows)               # trash row
+
+    def fast(_):
+        dt = jnp.zeros((num_rows + 1, d), g_flat.dtype)
+        dt = dt.at[run_ids[:budget]].add(summed[:budget])
+        return dt[:num_rows]
+
+    def slow(_):
+        return jnp.zeros((num_rows, d), g_flat.dtype).at[ids_flat].add(g_flat)
+
+    return jax.lax.cond(nuniq <= budget, fast, slow, None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def dedup_take(table: jnp.ndarray, ids: jnp.ndarray,
+               budget_div: int = 4) -> jnp.ndarray:
+    """jnp.take(table, ids, axis=0) with a dedup-scatter backward."""
+    return jnp.take(table, ids, axis=0, mode="clip")
+
+
+def _dedup_take_fwd(table, ids, budget_div):
+    return dedup_take(table, ids, budget_div), (ids, table.shape)
+
+
+def _dedup_take_bwd(budget_div, res, g):
+    ids, shape = res
+    ids_flat = ids.reshape(-1)
+    g_flat = g.reshape(-1, shape[1])
+    budget = max(256, ids_flat.shape[0] // budget_div)
+    dtable = _dedup_grad_table(ids_flat, g_flat, shape[0], budget)
+    return dtable, None
+
+
+dedup_take.defvjp(_dedup_take_fwd, _dedup_take_bwd)

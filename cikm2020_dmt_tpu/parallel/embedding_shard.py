@@ -38,13 +38,35 @@ def should_shard_table(cfg: DMTConfig, mesh: Mesh, rows: int) -> bool:
 
 
 class EmbeddingEngine:
-    """Replicated-table engine: plain gathers (single chip / small tables)."""
+    """Replicated-table engine: plain gathers (single chip / small tables).
+
+    With a config, gathers on large tables route through ``dedup_take``
+    (ops/scatter_rows): identical forward, but the backward sorts +
+    segment-sums the cotangent so the serialized TPU scatter-add only
+    touches unique rows — a large win on Zipfian ranking traffic
+    (measured 19.7x sku duplication per 4096-batch on the JD demo).
+    """
+
+    def __init__(self, cfg: DMTConfig | None = None):
+        self.cfg = cfg
+
+    def _take(self, table, ids):
+        cfg = self.cfg
+        if (cfg is not None and cfg.dedup_grads
+                and table.shape[0] >= cfg.dedup_rows_threshold):
+            from ..ops.scatter_rows import dedup_take
+            return dedup_take(table, ids, cfg.dedup_budget_div)
+        return jnp.take(table, ids, axis=0, mode="clip")
 
     def pooled(self, name: str, table, ids, wts, lens, combiner="mean"):
-        return pooled_lookup(table, ids, wts, lens, combiner)
+        from ..nn.embedding import pooled_from_grid
+        return pooled_from_grid(self._take(table, ids), wts, lens, combiner)
 
     def seq(self, name: str, table, ids, zero_pad: bool):
-        return seq_lookup(table, ids, zero_pad)
+        emb = self._take(table, ids)
+        if zero_pad:
+            emb = jnp.where((ids > 0)[..., None], emb, 0.0)
+        return emb
 
 
 DENSE_ENGINE = EmbeddingEngine()
@@ -55,7 +77,7 @@ class ShardedEmbeddingEngine(EmbeddingEngine):
     replicated path."""
 
     def __init__(self, cfg: DMTConfig, mesh: Mesh):
-        self.cfg = cfg
+        super().__init__(cfg)
         self.mesh = mesh
 
     def _sharded(self, table) -> bool:
@@ -120,4 +142,4 @@ class ShardedEmbeddingEngine(EmbeddingEngine):
 def make_engine(cfg: DMTConfig, mesh: Mesh | None) -> EmbeddingEngine:
     if mesh is not None and mesh.shape.get(MODEL_AXIS, 1) > 1:
         return ShardedEmbeddingEngine(cfg, mesh)
-    return DENSE_ENGINE
+    return EmbeddingEngine(cfg)
