@@ -275,7 +275,7 @@ class DMTConfig:
     # overflow falls back to the plain scatter inside a lax.cond.
     dedup_grads: bool = True
     dedup_rows_threshold: int = 1_000_000
-    dedup_budget_div: int = 4
+    dedup_budget_div: int = 8
     mesh_data: int = 0   # 0 = auto: all devices not used by the model axis
     mesh_model: int = 1
 

@@ -275,9 +275,10 @@ def _dedup_grad_table(ids_flat: jnp.ndarray, g_flat: jnp.ndarray,
     run_ids = jnp.where(valid, run_ids, num_rows)               # trash row
 
     def fast(_):
-        dt = jnp.zeros((num_rows + 1, d), g_flat.dtype)
-        dt = dt.at[run_ids[:budget]].add(summed[:budget])
-        return dt[:num_rows]
+        # mode="drop": sentinel ids (== num_rows) fall off the edge, so no
+        # trash row and no [R+1]->[R] slice copy of the 640MB buffer
+        return jnp.zeros((num_rows, d), g_flat.dtype).at[
+            run_ids[:budget]].add(summed[:budget], mode="drop")
 
     def slow(_):
         return jnp.zeros((num_rows, d), g_flat.dtype).at[ids_flat].add(g_flat)
