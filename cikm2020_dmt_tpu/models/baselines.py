@@ -45,7 +45,7 @@ class LR(BaseModel):
     def init(self, rng):
         from ..nn.embedding import collection_init
         ek, dk = jax.random.split(rng)
-        params = {"emb": collection_init(ek, self.cfg.embeddings, self.dtype),
+        params = {"emb": self._emb_init(ek, self.cfg.embeddings),
                   "linear": dense_init(dk, combiner_dim(self.cfg), 1,
                                        bias_init=0.0, dtype=self.dtype)}
         return params, {}
@@ -68,7 +68,7 @@ class WideAndDeep(BaseModel):
                             self.cfg.output_units, is_bn=self.cfg.is_bn,
                             out_bias_init=0.0, dtype=self.dtype)
         params = {
-            "emb": collection_init(ek, self.cfg.embeddings, self.dtype),
+            "emb": self._emb_init(ek, self.cfg.embeddings),
             "wide": dense_init(wk, self.cfg.feature_dimension, 1,
                                bias_init=0.0, dtype=self.dtype),
             "deep": deep,
@@ -101,7 +101,7 @@ class DCN(BaseModel):
                             is_bn=self.cfg.is_bn, dtype=self.dtype)
         g = glorot_uniform()
         params = {
-            "emb": collection_init(keys[0], self.cfg.embeddings, self.dtype),
+            "emb": self._emb_init(keys[0], self.cfg.embeddings),
             "deep": deep,
             "cross": [
                 {"w": g(keys[2 + l], (dim, 1), self.dtype),
@@ -189,8 +189,7 @@ class DIN(BaseModel):
         from ..nn.embedding import collection_init
         n = len(self.cfg.attention_pairs)
         keys = jax.random.split(rng, n + 2)
-        params = {"emb": collection_init(keys[0], self.cfg.embeddings,
-                                         self.dtype)}
+        params = {"emb": self._emb_init(keys[0], self.cfg.embeddings)}
         for gi in range(n):
             params[f"attn{gi}"] = din_attention_init(
                 keys[1 + gi], seq_input_dim(self.cfg, gi), dtype=self.dtype)
@@ -287,8 +286,7 @@ class DIEN(BaseModel):
         from ..nn.embedding import collection_init
         n = len(self.cfg.attention_pairs)
         keys = jax.random.split(rng, 3 * n + 2)
-        params = {"emb": collection_init(keys[0], self.cfg.embeddings,
-                                         self.dtype)}
+        params = {"emb": self._emb_init(keys[0], self.cfg.embeddings)}
         for gi in range(n):
             d = seq_input_dim(self.cfg, gi)
             params[f"gru{gi}"] = gru_init(keys[1 + 3 * gi], d, d, self.dtype)

@@ -84,7 +84,9 @@ def embedding_combiner(emb: Params, batch: dict, cfg: DMTConfig, *,
             continue
         ids = batch[spec.feature + IDS]
         if spec.feature in ts_feats:
-            ids = ts_bucketize(ids, emb[spec.table].shape[0])
+            # bucket bound = LOGICAL rows (spec.id_size); the physical
+            # table may be lane-packed (nn/embedding.pack_table)
+            ids = ts_bucketize(ids, spec.id_size)
         if seq_cache is not None and spec.feature in seq_cache:
             from ..nn.embedding import pooled_from_grid
             pooled = pooled_from_grid(
@@ -208,8 +210,7 @@ def sequence_interest(params: Params, emb: Params, batch: dict,
             ts_feat = cfg.attention_ts[gi]
             tspec = spec_of.get(ts_feat)
             if tspec is not None:
-                buckets = ts_bucketize(batch[ts_feat + IDS],
-                                       emb[tspec.table].shape[0])
+                buckets = ts_bucketize(batch[ts_feat + IDS], tspec.id_size)
                 raw_ts = engine.seq(tspec.table, emb[tspec.table], buckets,
                                     False)
                 cache[ts_feat] = raw_ts
@@ -318,7 +319,8 @@ def bias_net_init(rng, cfg: DMTConfig, dtype=jnp.float32) -> Params:
     mlp, _ = mlp_init(mk, bias_combiner_dim(cfg), cfg.hidden_units_bias,
                       cfg.output_units, out_bias_init=0.0,
                       hidden_bias_init=0.0, w_init=g, dtype=dtype)
-    return {"emb": collection_init(ek, cfg.embeddings_bias, dtype),
+    return {"emb": collection_init(ek, cfg.embeddings_bias, dtype,
+                                   packed=cfg.packed_tables),
             "mlp": mlp}
 
 
@@ -336,7 +338,7 @@ def bias_net_apply(params: Params, batch: dict, cfg: DMTConfig, *,
     for spec in cfg.embeddings_bias:
         ids = batch[spec.feature + IDS]
         parts.append(engine.pooled(
-            spec.table, emb[spec.table], ids,
+            "bias:" + spec.table, emb[spec.table], ids,
             feature_wts(batch, spec.feature, ids),
             batch[spec.feature + LEN]))
     y = jnp.concatenate(parts, axis=-1)

@@ -55,7 +55,12 @@ class BaseModel:
         self.compute_dtype = jnp.dtype(cfg.compute_dtype)
         # embedding lookup engine; the Trainer swaps in the sharded engine
         # (parallel/embedding_shard.py) when the mesh has a model axis
-        self.engine = DENSE_ENGINE
+        from ..parallel.embedding_shard import EmbeddingEngine
+        self.engine = EmbeddingEngine(cfg)
+
+    def _emb_init(self, rng, specs):
+        return collection_init(rng, specs, self.dtype,
+                               packed=self.cfg.packed_tables)
 
     def _cast(self, x):
         return x.astype(self.compute_dtype)
@@ -100,7 +105,7 @@ class EmbedMLP(BaseModel):
         mlp, st = mlp_init(mk, combiner_dim(self.cfg), self.cfg.hidden_units,
                            self.cfg.output_units, is_bn=self.cfg.is_bn,
                            out_bias_init=0.0, dtype=self.dtype)
-        params = {"emb": collection_init(ek, self.cfg.embeddings, self.dtype),
+        params = {"emb": self._emb_init(ek, self.cfg.embeddings),
                   "mlp": mlp}
         return params, ({"mlp": st} if st else {})
 
@@ -130,7 +135,7 @@ class MultiTask(BaseModel):
     def init(self, rng):
         ek, bk, ck, ok, sk = jax.random.split(rng, 5)
         cfg = self.cfg
-        params: Params = {"emb": collection_init(ek, cfg.embeddings, self.dtype)}
+        params: Params = {"emb": self._emb_init(ek, cfg.embeddings)}
         state: State = {}
         if self.use_interest:
             params["trans"] = sequences_init(sk, cfg, self.dtype)
@@ -200,7 +205,7 @@ class MMoE(BaseModel):
     def init(self, rng):
         ek, mk, ck, ok, sk = jax.random.split(rng, 5)
         cfg = self.cfg
-        params: Params = {"emb": collection_init(ek, cfg.embeddings, self.dtype)}
+        params: Params = {"emb": self._emb_init(ek, cfg.embeddings)}
         state: State = {}
         if self.use_interest:
             params["trans"] = sequences_init(sk, cfg, self.dtype)
@@ -280,7 +285,7 @@ class Transformer(BaseModel):
         in_dim = combiner_dim(cfg, skip_seq=True) + interest_dim(cfg)
         mlp, st = mlp_init(mk, in_dim, cfg.hidden_units, cfg.output_units,
                            is_bn=cfg.is_bn, out_bias_init=0.0, dtype=self.dtype)
-        params = {"emb": collection_init(ek, cfg.embeddings, self.dtype),
+        params = {"emb": self._emb_init(ek, cfg.embeddings),
                   "trans": sequences_init(sk, cfg, self.dtype),
                   "mlp": mlp}
         return params, ({"mlp": st} if st else {})

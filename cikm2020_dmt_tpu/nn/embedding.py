@@ -38,7 +38,46 @@ def table_init(rng, rows: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
     return glorot_uniform()(rng, (rows, dim), dtype)
 
 
-def collection_init(rng, specs: tuple[EmbeddingSpec, ...], dtype=jnp.float32) -> Params:
+def pack_factor(dim: int) -> int:
+    """How many logical rows share one 128-lane physical row.
+
+    TPU gathers/scatters process whole (8,128) tiles: a 32-wide f32 row
+    wastes 3/4 of each transaction.  Packing ``p = 128 // dim`` logical
+    rows per physical row measured 15x faster gathers and 6.7x faster
+    scatter-adds at identical byte volume (see memory notes)."""
+    if 0 < dim < 128 and 128 % dim == 0:
+        return 128 // dim
+    return 1
+
+
+def packed_rows(rows: int, dim: int) -> int:
+    p = pack_factor(dim)
+    return -(-rows // p)
+
+
+def pack_table(logical: jnp.ndarray) -> jnp.ndarray:
+    """[R, d] -> [ceil(R/p), p*d] (row-major regrouping; per-logical-row
+    values unchanged, so initialization statistics are identical)."""
+    R, d = logical.shape
+    p = pack_factor(d)
+    if p == 1:
+        return logical
+    Rp = packed_rows(R, d) * p
+    if Rp != R:
+        logical = jnp.pad(logical, ((0, Rp - R), (0, 0)))
+    return logical.reshape(Rp // p, p * d)
+
+
+def unpack_table(packed: jnp.ndarray, rows: int, dim: int) -> jnp.ndarray:
+    """Inverse of pack_table (a free reshape + slice)."""
+    p = pack_factor(dim)
+    if p == 1:
+        return packed
+    return packed.reshape(-1, dim)[:rows]
+
+
+def collection_init(rng, specs: tuple[EmbeddingSpec, ...], dtype=jnp.float32,
+                    packed: bool = False) -> Params:
     """One table per distinct table name (shared across features)."""
     tables: Params = {}
     names = []
@@ -47,10 +86,22 @@ def collection_init(rng, specs: tuple[EmbeddingSpec, ...], dtype=jnp.float32) ->
             tables[spec.table] = (spec.id_size, spec.dim)
             names.append(spec.table)
     keys = jax.random.split(rng, max(1, len(names)))
-    return {
-        name: table_init(keys[i], *tables[name], dtype)
-        for i, name in enumerate(names)
-    }
+    out: Params = {}
+    for i, name in enumerate(names):
+        t = table_init(keys[i], *tables[name], dtype)
+        out[name] = pack_table(t) if packed else t
+    return out
+
+
+def select_packed(grid128: jnp.ndarray, slot: jnp.ndarray, p: int,
+                  dim: int) -> jnp.ndarray:
+    """[..., p*d] physical rows + [...] slot -> [..., d] logical rows via a
+    one-hot contraction (VPU; avoids per-element dynamic slicing)."""
+    grid = grid128.reshape(*grid128.shape[:-1], p, dim)
+    onehot = (slot[..., None]
+              == jax.lax.broadcasted_iota(jnp.int32, (*slot.shape, p),
+                                          slot.ndim)).astype(grid.dtype)
+    return jnp.einsum("...pd,...p->...d", grid, onehot)
 
 
 def presence_mask(wts: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:

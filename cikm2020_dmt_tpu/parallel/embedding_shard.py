@@ -49,21 +49,48 @@ class EmbeddingEngine:
 
     def __init__(self, cfg: DMTConfig | None = None):
         self.cfg = cfg
+        # table name -> (logical_rows, dim, pack_factor) when packing is on
+        self._meta: dict[str, tuple[int, int, int]] = {}
+        if cfg is not None and cfg.packed_tables:
+            from ..nn.embedding import pack_factor
+            # bias-net tables are DISTINCT from same-named main tables
+            # (different dims — reference variable-scoping effect), so they
+            # get a namespaced key; bias_net_apply passes "bias:<table>"
+            for spec in cfg.embeddings:
+                self._meta.setdefault(
+                    spec.table,
+                    (spec.id_size, spec.dim, pack_factor(spec.dim)))
+            for spec in cfg.embeddings_bias:
+                self._meta.setdefault(
+                    "bias:" + spec.table,
+                    (spec.id_size, spec.dim, pack_factor(spec.dim)))
 
-    def _take(self, table, ids):
+    def _take_raw(self, table, ids, logical_rows):
         cfg = self.cfg
         if (cfg is not None and cfg.dedup_grads
-                and table.shape[0] >= cfg.dedup_rows_threshold):
+                and logical_rows >= cfg.dedup_rows_threshold):
             from ..ops.scatter_rows import dedup_take
             return dedup_take(table, ids, cfg.dedup_budget_div)
         return jnp.take(table, ids, axis=0, mode="clip")
 
+    def _take(self, name, table, ids):
+        meta = self._meta.get(name)
+        if meta is None or meta[2] == 1:
+            return self._take_raw(table, ids, table.shape[0])
+        rows, dim, p = meta
+        from ..nn.embedding import select_packed
+        phys = ids // p
+        slot = ids - phys * p
+        grid128 = self._take_raw(table, phys, rows)
+        return select_packed(grid128, slot, p, dim)
+
     def pooled(self, name: str, table, ids, wts, lens, combiner="mean"):
         from ..nn.embedding import pooled_from_grid
-        return pooled_from_grid(self._take(table, ids), wts, lens, combiner)
+        return pooled_from_grid(self._take(name, table, ids), wts, lens,
+                                combiner)
 
     def seq(self, name: str, table, ids, zero_pad: bool):
-        emb = self._take(table, ids)
+        emb = self._take(name, table, ids)
         if zero_pad:
             emb = jnp.where((ids > 0)[..., None], emb, 0.0)
         return emb
@@ -84,18 +111,31 @@ class ShardedEmbeddingEngine(EmbeddingEngine):
         return should_shard_table(self.cfg, self.mesh, table.shape[0])
 
     # -- pooled ---------------------------------------------------------
+    def _phys(self, name: str, ids):
+        """Logical ids -> (phys ids, slot, p, dim) under packing."""
+        meta = self._meta.get(name)
+        if meta is None or meta[2] == 1:
+            return ids, None, 1, None
+        rows, dim, p = meta
+        phys = ids // p
+        return phys, ids - phys * p, p, dim
+
     def pooled(self, name: str, table, ids, wts, lens, combiner="mean"):
         if not self._sharded(table):
-            return pooled_lookup(table, ids, wts, lens, combiner)
+            return super().pooled(name, table, ids, wts, lens, combiner)
         rows_per_shard = table.shape[0] // self.mesh.shape[MODEL_AXIS]
+        phys, slot, p, dim = self._phys(name, ids)
 
-        def local(table_shard, ids_l, wts_l, lens_l):
+        def local(table_shard, ids_l, slot_l, wts_l, lens_l):
             shard = jax.lax.axis_index(MODEL_AXIS)
             lo = shard * rows_per_shard
             rel = ids_l - lo
             in_shard = (rel >= 0) & (rel < rows_per_shard)
             emb = jnp.take(table_shard, jnp.where(in_shard, rel, 0), axis=0,
                            mode="clip")
+            if p > 1:
+                from ..nn.embedding import select_packed
+                emb = select_packed(emb, slot_l, p, dim)
             emb = jnp.where(in_shard[..., None], emb, 0.0)     # [b, L, D]
             mask = presence_mask(wts_l, lens_l)
             w = (wts_l * mask).astype(emb.dtype)
@@ -107,36 +147,43 @@ class ShardedEmbeddingEngine(EmbeddingEngine):
             return jnp.where(denom > 0,
                              weighted / jnp.maximum(denom, 1e-12), 0.0)
 
+        slot_arg = slot if slot is not None else jnp.zeros_like(phys)
         return jax.shard_map(
             local, mesh=self.mesh,
             in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS, None),
-                      P(DATA_AXIS, None), P(DATA_AXIS)),
+                      P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS)),
             out_specs=P(DATA_AXIS, None),
-        )(table, ids, wts, lens)
+        )(table, phys, slot_arg, wts, lens)
 
     # -- per-position (sequence) ---------------------------------------
     def seq(self, name: str, table, ids, zero_pad: bool):
         if not self._sharded(table):
-            return seq_lookup(table, ids, zero_pad)
+            return super().seq(name, table, ids, zero_pad)
         rows_per_shard = table.shape[0] // self.mesh.shape[MODEL_AXIS]
+        phys, slot, p, dim = self._phys(name, ids)
 
-        def local(table_shard, ids_l):
+        def local(table_shard, ids_l, slot_l, orig_l):
             shard = jax.lax.axis_index(MODEL_AXIS)
             lo = shard * rows_per_shard
             rel = ids_l - lo
             in_shard = (rel >= 0) & (rel < rows_per_shard)
             if zero_pad:
-                in_shard = in_shard & (ids_l > 0)
+                in_shard = in_shard & (orig_l > 0)
             emb = jnp.take(table_shard, jnp.where(in_shard, rel, 0), axis=0,
                            mode="clip")
+            if p > 1:
+                from ..nn.embedding import select_packed
+                emb = select_packed(emb, slot_l, p, dim)
             emb = jnp.where(in_shard[..., None], emb, 0.0)
             return jax.lax.psum(emb, MODEL_AXIS)               # [b, L, D]
 
+        slot_arg = slot if slot is not None else jnp.zeros_like(phys)
         return jax.shard_map(
             local, mesh=self.mesh,
-            in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS, None)),
+            in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS, None),
+                      P(DATA_AXIS, None), P(DATA_AXIS, None)),
             out_specs=P(DATA_AXIS, None, None),
-        )(table, ids)
+        )(table, phys, slot_arg, ids)
 
 
 def make_engine(cfg: DMTConfig, mesh: Mesh | None) -> EmbeddingEngine:

@@ -205,7 +205,7 @@ class Trainer:
             # warm-start pretrained tables (reference run_dnn.py:298-299)
             from .warmstart import parse_update_emb, warm_start_embeddings
             tstate["params"] = warm_start_embeddings(
-                tstate["params"], parse_update_emb(cfg.update_emb))
+                tstate["params"], parse_update_emb(cfg.update_emb), cfg)
             log_line(f"warm-started embeddings: {cfg.update_emb}")
         tstate = self.shard_state(tstate)
 

@@ -190,7 +190,9 @@ def l2_regularization(cfg: DMTConfig, params, batch) -> jnp.ndarray:
 
     emb = params.get("emb") if isinstance(params, dict) else None
     if emb and cfg.l2_emb_lambda > 0.0:
+        from ..nn.embedding import unpack_table
         total = jnp.float32(0.0)
+        dims = {s2.table: (s2.id_size, s2.dim) for s2 in cfg.embeddings}
         touched: dict[str, jnp.ndarray] = {}
         for spec in cfg.embeddings:
             key = spec.feature + IDS
@@ -199,10 +201,13 @@ def l2_regularization(cfg: DMTConfig, params, batch) -> jnp.ndarray:
             ids = batch[key].reshape(-1)
             presence = touched.get(spec.table)
             if presence is None:
-                presence = jnp.zeros((emb[spec.table].shape[0],), jnp.float32)
-            touched[spec.table] = presence.at[ids].max(1.0)
+                presence = jnp.zeros((spec.id_size,), jnp.float32)
+            touched[spec.table] = presence.at[ids].max(1.0, mode="drop")
         for table_name, presence in touched.items():
-            row_sq = jnp.sum(emb[table_name].astype(jnp.float32) ** 2, axis=-1)
+            rows, dim = dims[table_name]
+            logical = (unpack_table(emb[table_name], rows, dim)
+                       if cfg.packed_tables else emb[table_name])
+            row_sq = jnp.sum(logical.astype(jnp.float32) ** 2, axis=-1)
             total += 0.5 * jnp.sum(presence * row_sq)
         reg = reg + total * cfg.l2_emb_lambda / cfg.batch_size
     return reg

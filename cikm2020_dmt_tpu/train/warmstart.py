@@ -33,11 +33,13 @@ def load_pretrained_table(path: str) -> np.ndarray:
 
 
 def warm_start_embeddings(params: dict,
-                          table_paths: Mapping[str, str]) -> dict:
+                          table_paths: Mapping[str, str],
+                          cfg=None) -> dict:
     """Return params with the named embedding tables replaced.
 
-    Shape must match the configured table exactly (the reference's assign
-    would likewise fail on mismatch).
+    Pretrained arrays are LOGICAL [rows, dim]; they are packed to the
+    physical layout when cfg.packed_tables.  Shape must match the
+    configured table exactly (the reference's assign would likewise fail).
     """
     if not table_paths:
         return params
@@ -47,6 +49,11 @@ def warm_start_embeddings(params: dict,
             raise KeyError(f"unknown embedding table {name!r}; "
                            f"have {sorted(emb)}")
         arr = load_pretrained_table(path)
+        if cfg is not None and cfg.packed_tables:
+            import jax.numpy as jnp
+
+            from ..nn.embedding import pack_table
+            arr = np.asarray(pack_table(jnp.asarray(arr)))
         want = tuple(emb[name].shape)
         if tuple(arr.shape) != want:
             raise ValueError(

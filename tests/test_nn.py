@@ -270,3 +270,54 @@ class TestMLPLayers:
         # eval deterministic
         y3, _ = mlp_apply(params, state, x, train=False)
         np.testing.assert_array_equal(np.asarray(y1), np.asarray(y3))
+
+
+class TestPackedTables:
+    def test_pack_roundtrip(self, rng):
+        import jax.numpy as jnp
+        from cikm2020_dmt_tpu.nn.embedding import (pack_factor, pack_table,
+                                                   unpack_table)
+        assert pack_factor(32) == 4
+        assert pack_factor(16) == 8
+        assert pack_factor(8) == 16
+        assert pack_factor(5) == 1   # 128 % 5 != 0 -> unpacked
+        assert pack_factor(128) == 1
+        t = rng.normal(size=(103, 32)).astype(np.float32)  # non-multiple rows
+        packed = pack_table(jnp.asarray(t))
+        assert packed.shape == (26, 128)
+        back = unpack_table(packed, 103, 32)
+        np.testing.assert_array_equal(np.asarray(back), t)
+
+    def test_select_packed(self, rng):
+        import jax.numpy as jnp
+        from cikm2020_dmt_tpu.nn.embedding import select_packed
+        grid = rng.normal(size=(6, 128)).astype(np.float32)
+        slot = np.array([0, 3, 1, 2, 0, 3], np.int32)
+        out = np.asarray(select_packed(jnp.asarray(grid), jnp.asarray(slot),
+                                       4, 32))
+        for i, s in enumerate(slot):
+            np.testing.assert_array_equal(out[i], grid[i, s*32:(s+1)*32])
+
+    def test_packed_model_matches_unpacked(self, rng):
+        """Packing is a pure layout change: same seed -> identical logits."""
+        import jax
+        import jax.numpy as jnp
+        import sys
+        sys.path.insert(0, "tests")
+        from conftest import DEMO_DATA, make_demo_config
+        from cikm2020_dmt_tpu.data.pipeline import batch_stream
+        from cikm2020_dmt_tpu.models.zoo import build_model
+        outs = {}
+        batch = None
+        for packed in (False, True):
+            cfg = make_demo_config(model_type="embed_mlp",
+                                   packed_tables=packed)
+            if batch is None:
+                b = next(batch_stream(cfg, DEMO_DATA, 8, epochs=1))
+                batch = {k: jnp.asarray(v) for k, v in b.arrays.items()}
+            model = build_model(cfg)
+            params, state = model.init(jax.random.PRNGKey(7))
+            out, _ = model.apply(params, state, batch, train=False)
+            outs[packed] = np.asarray(out)
+        np.testing.assert_allclose(outs[True], outs[False], rtol=1e-5,
+                                   atol=1e-6)
