@@ -278,8 +278,12 @@ class DMTConfig:
     dedup_budget_div: int = 8
     # store embedding tables packed 128//dim logical rows per 128-lane
     # physical row: TPU gathers/scatters cost per (8,128) tile, so packing
-    # measured 15x faster gathers / 6.7x faster scatter-adds at equal bytes
+    # measured 15x faster gathers / 6.7x faster scatter-adds at equal
+    # bytes.  Only tables with >= pack_rows_threshold logical rows pack:
+    # for small tables the one-hot slot-select (and its p-times-wider
+    # cotangent) costs more than the scatter it saves (measured)
     packed_tables: bool = True
+    pack_rows_threshold: int = 500_000
     mesh_data: int = 0   # 0 = auto: all devices not used by the model axis
     mesh_model: int = 1
 

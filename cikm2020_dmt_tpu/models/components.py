@@ -320,7 +320,8 @@ def bias_net_init(rng, cfg: DMTConfig, dtype=jnp.float32) -> Params:
                       cfg.output_units, out_bias_init=0.0,
                       hidden_bias_init=0.0, w_init=g, dtype=dtype)
     return {"emb": collection_init(ek, cfg.embeddings_bias, dtype,
-                                   packed=cfg.packed_tables),
+                                   packed=cfg.packed_tables,
+                                   pack_rows_threshold=cfg.pack_rows_threshold),
             "mlp": mlp}
 
 

@@ -60,7 +60,8 @@ class BaseModel:
 
     def _emb_init(self, rng, specs):
         return collection_init(rng, specs, self.dtype,
-                               packed=self.cfg.packed_tables)
+                               packed=self.cfg.packed_tables,
+                               pack_rows_threshold=self.cfg.pack_rows_threshold)
 
     def _cast(self, x):
         return x.astype(self.compute_dtype)

@@ -77,7 +77,8 @@ def unpack_table(packed: jnp.ndarray, rows: int, dim: int) -> jnp.ndarray:
 
 
 def collection_init(rng, specs: tuple[EmbeddingSpec, ...], dtype=jnp.float32,
-                    packed: bool = False) -> Params:
+                    packed: bool = False,
+                    pack_rows_threshold: int = 0) -> Params:
     """One table per distinct table name (shared across features)."""
     tables: Params = {}
     names = []
@@ -88,8 +89,11 @@ def collection_init(rng, specs: tuple[EmbeddingSpec, ...], dtype=jnp.float32,
     keys = jax.random.split(rng, max(1, len(names)))
     out: Params = {}
     for i, name in enumerate(names):
-        t = table_init(keys[i], *tables[name], dtype)
-        out[name] = pack_table(t) if packed else t
+        rows, dim = tables[name]
+        t = table_init(keys[i], rows, dim, dtype)
+        if packed and rows >= pack_rows_threshold:
+            t = pack_table(t)
+        out[name] = t
     return out
 
 

@@ -56,14 +56,15 @@ class EmbeddingEngine:
             # bias-net tables are DISTINCT from same-named main tables
             # (different dims — reference variable-scoping effect), so they
             # get a namespaced key; bias_net_apply passes "bias:<table>"
+            thr = cfg.pack_rows_threshold
             for spec in cfg.embeddings:
-                self._meta.setdefault(
-                    spec.table,
-                    (spec.id_size, spec.dim, pack_factor(spec.dim)))
+                p = pack_factor(spec.dim) if spec.id_size >= thr else 1
+                self._meta.setdefault(spec.table,
+                                      (spec.id_size, spec.dim, p))
             for spec in cfg.embeddings_bias:
-                self._meta.setdefault(
-                    "bias:" + spec.table,
-                    (spec.id_size, spec.dim, pack_factor(spec.dim)))
+                p = pack_factor(spec.dim) if spec.id_size >= thr else 1
+                self._meta.setdefault("bias:" + spec.table,
+                                      (spec.id_size, spec.dim, p))
 
     def _take_raw(self, table, ids, logical_rows):
         cfg = self.cfg

@@ -49,7 +49,8 @@ def warm_start_embeddings(params: dict,
             raise KeyError(f"unknown embedding table {name!r}; "
                            f"have {sorted(emb)}")
         arr = load_pretrained_table(path)
-        if cfg is not None and cfg.packed_tables:
+        if (cfg is not None and cfg.packed_tables
+                and arr.shape[0] >= cfg.pack_rows_threshold):
             import jax.numpy as jnp
 
             from ..nn.embedding import pack_table

@@ -311,7 +311,8 @@ class TestPackedTables:
         batch = None
         for packed in (False, True):
             cfg = make_demo_config(model_type="embed_mlp",
-                                   packed_tables=packed)
+                                   packed_tables=packed,
+                                   pack_rows_threshold=1000)
             if batch is None:
                 b = next(batch_stream(cfg, DEMO_DATA, 8, epochs=1))
                 batch = {k: jnp.asarray(v) for k, v in b.arrays.items()}
