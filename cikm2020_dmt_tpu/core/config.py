@@ -275,7 +275,7 @@ class DMTConfig:
     # overflow falls back to the plain scatter inside a lax.cond.
     dedup_grads: bool = True
     dedup_rows_threshold: int = 1_000_000
-    dedup_budget_div: int = 16
+    dedup_budget_div: int = 8
     # store embedding tables packed 128//dim logical rows per 128-lane
     # physical row: TPU gathers/scatters cost per (8,128) tile, so packing
     # measured 15x faster gathers / 6.7x faster scatter-adds at equal
