@@ -44,10 +44,15 @@ class CheckpointManager:
 
     # -- save / restore -------------------------------------------------
     def save(self, step: int, tree: Any) -> str:
+        """Save a pytree (numpy or jax.Arrays — sharded arrays write only
+        each process's addressable shards).  The DONE marker is written by
+        process 0 only, after Orbax's cross-process commit barrier, so the
+        evaluator never sees a half-written checkpoint."""
         path = self.ckpt_dir(step)
         self._ckpt.save(path, tree, force=True)
-        with open(self.marker_path(step), "w") as f:
-            f.write(str(step))
+        if jax.process_index() == 0:
+            with open(self.marker_path(step), "w") as f:
+                f.write(str(step))
         return path
 
     def restore(self, step: int, template: Any = None) -> Any:

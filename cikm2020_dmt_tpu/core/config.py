@@ -205,6 +205,12 @@ class DMTConfig:
     loss_weight_method: str = "fixed"        # fixed | uncertainty
     loss_unbias_method: str = "two_head_add"  # two_head_add | two_head_multiply
     loss_ctr_rel_method: str = "ctr_rel"      # ctr | ctr_rel
+    # exact-fidelity switch: feed the RAW multi-valued label (0..5) into the
+    # single-task sigmoid CE like the reference does
+    # (inference_mlp.py:146-160) instead of the derived binary click label.
+    # Off by default — the raw-label CE is not a proper binary objective
+    # (documented deviation, SURVEY.md §2.4) — on for parity measurement.
+    single_task_raw_label: bool = False
     export_weight: tuple[float, ...] = (1.0, 1.0)
     # ((label, weight), ...) sorted by label; labels define the mask columns
     weight_ctr: tuple[tuple[int, float], ...] = parse_class_weights(
@@ -436,6 +442,7 @@ class DMTConfig:
             loss_weight_method=get("parameter", "loss_weight_method", d.loss_weight_method),
             loss_unbias_method=get("model", "loss_unbias_method", d.loss_unbias_method),
             loss_ctr_rel_method=get("model", "loss_ctr_rel_method", d.loss_ctr_rel_method),
+            single_task_raw_label=get_bool("model", "single_task_raw_label", d.single_task_raw_label),
             export_weight=parse_csv_floats(get("export_model", "export_weight", "") or "") or d.export_weight,
             weight_ctr=weights("weight_ctr", d.weight_ctr),
             weight_ecvr=weights("weight_ecvr", d.weight_ecvr),

@@ -12,9 +12,11 @@ Semantics match the reference exactly (reference metrics/metrics.py):
   (the reference's ``except -> return 1``, metrics.py:69-74); mean over
   the remaining groups
 
-Implementation is vectorized NumPy over group segments instead of the
-reference's pandas + fork-per-0.7*ncpu multiprocessing — same numbers,
-no process pool.
+Implementation is fully vectorized NumPy over group segments
+(``reduceat`` kernels, no per-group Python) instead of the reference's
+pandas + fork-per-0.7*ncpu multiprocessing (metrics.py:134-199) — same
+numbers at any group count: 10M rows / 1M groups compute in seconds,
+where a per-group Python loop takes hours.
 """
 
 from __future__ import annotations
@@ -29,11 +31,35 @@ AT_LIST = (2, 4, 6, 8, 10, 12, 14)
 
 
 def _parse_headers(header_schema: Sequence[str], headers: Sequence[bytes]):
+    """Extract (label, sid, uuid) columns from raw header lines.
+
+    Bulk path: join the lines and hand them to pandas' C csv parser
+    (the reference also leans on pandas for its 105M-row test split,
+    metrics.py:134-160); tiny inputs fall back to a plain Python loop.
+    """
     idx = {name: i for i, name in enumerate(header_schema)}
-    label_i, sid_i, uuid_i = idx["label"], idx["sid"], idx.get("uuid", idx["sid"])
-    labels = np.empty(len(headers), np.int64)
-    sids = np.empty(len(headers), object)
-    uuids = np.empty(len(headers), object)
+    label_i, sid_i = idx["label"], idx["sid"]
+    uuid_i = idx.get("uuid", sid_i)
+    n = len(headers)
+    if n >= 4096:
+        import io
+
+        import pandas as pd
+        blob = b"\n".join(h if isinstance(h, bytes) else h.encode()
+                          for h in headers)
+        cols = sorted({label_i, sid_i, uuid_i})
+        df = pd.read_csv(io.BytesIO(blob), sep="\t", header=None,
+                         usecols=cols, names=[str(c) for c in cols],
+                         dtype={str(label_i): np.int64, str(sid_i): str,
+                                str(uuid_i): str}, engine="c",
+                         skip_blank_lines=False, na_filter=False)
+        labels = df[str(label_i)].to_numpy(np.int64)
+        sids = df[str(sid_i)].to_numpy(object)
+        uuids = df[str(uuid_i)].to_numpy(object)
+        return labels, sids, uuids
+    labels = np.empty(n, np.int64)
+    sids = np.empty(n, object)
+    uuids = np.empty(n, object)
     for j, h in enumerate(headers):
         f = (h.decode() if isinstance(h, bytes) else h).strip().split("\t")
         labels[j] = int(f[label_i])
@@ -62,6 +88,32 @@ def _sort_groups(keys, scores, labels):
     return order
 
 
+def _segment_pre_mrr(hits: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                     at_list) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-group P@N / MRR@N sums over contiguous segments.
+
+    ``hits`` must already be in group-sorted order (score desc within
+    group).  Returns (pre_sums, mrr_sums), each len(at_list) — the caller
+    divides by the group count (reference metrics.py:171-194).
+    """
+    n = len(hits)
+    glen = ends - starts
+    chits = np.concatenate([[0.0], np.cumsum(hits)])
+    # 1-based within-group rank of the first hit; inf when the group has none
+    pos = np.where(hits > 0, np.arange(n), n)
+    first_global = np.minimum.reduceat(pos, starts) if n else np.empty(0)
+    first = np.where(first_global < ends,
+                     first_global - starts + 1.0, np.inf)
+    pre = np.empty(len(at_list))
+    mrr = np.empty(len(at_list))
+    inv_first = np.where(np.isfinite(first), 1.0 / first, 0.0)
+    for ai, N in enumerate(at_list):
+        k = np.minimum(N, glen)
+        pre[ai] = float(((chits[starts + k] - chits[starts]) / k).sum())
+        mrr[ai] = float((inv_first * (first <= k)).sum())
+    return pre, mrr
+
+
 def precision_mrr_at_n(header_schema, headers, scores,
                        at_list=AT_LIST) -> dict:
     """Reference get_offline_metrics (metrics.py:122-199):
@@ -77,48 +129,69 @@ def precision_mrr_at_n(header_schema, headers, scores,
     out = {}
     for action in (CLICK, ORDER):
         hits = (sorted_labels >= action).astype(np.float64)
-        chits = np.concatenate([[0.0], np.cumsum(hits)])
-        pre = np.zeros(len(at_list))
-        mrr = np.zeros(len(at_list))
-        # rank (1-based, within group) of the first hit, inf if none
-        for gi in range(n_groups):
-            s, e = starts[gi], ends[gi]
-            g_hits = hits[s:e]
-            nz = np.flatnonzero(g_hits)
-            first = nz[0] + 1 if len(nz) else np.inf
-            glen = e - s
-            for ai, N in enumerate(at_list):
-                k = min(N, glen)
-                pre[ai] += (chits[s + k] - chits[s]) / k
-                if first <= k:
-                    mrr[ai] += 1.0 / first
-        pre /= max(n_groups, 1)
-        mrr /= max(n_groups, 1)
-        out[action] = (pre, mrr)
+        pre, mrr = _segment_pre_mrr(hits, starts, ends, at_list)
+        out[action] = (pre / max(n_groups, 1), mrr / max(n_groups, 1))
     return out
+
+
+def _tie_averaged_ranks(scores_sorted: np.ndarray, ranks: np.ndarray,
+                        seg_change: np.ndarray) -> np.ndarray:
+    """Average ``ranks`` over runs of equal score (within segments marked
+    by ``seg_change``) — the tie handling of sklearn's roc_auc_score."""
+    n = len(scores_sorted)
+    tchange = seg_change.copy()
+    tchange[1:] |= scores_sorted[1:] != scores_sorted[:-1]
+    tstarts = np.flatnonzero(tchange)
+    tlen = np.diff(np.append(tstarts, n))
+    tsum = np.add.reduceat(ranks, tstarts)
+    return np.repeat(tsum / tlen, tlen)
 
 
 def _auc_rank(labels01: np.ndarray, scores: np.ndarray) -> float:
     """Mann-Whitney AUC with tie-averaged ranks (== sklearn roc_auc_score)."""
+    n = len(scores)
     n_pos = int(labels01.sum())
-    n_neg = len(labels01) - n_pos
+    n_neg = n - n_pos
     if n_pos == 0 or n_neg == 0:
         return 1.0  # reference except->1 (metrics.py:69-74)
     order = np.argsort(scores, kind="mergesort")
-    ranks = np.empty(len(scores), np.float64)
-    ranks[order] = np.arange(1, len(scores) + 1)
-    # average ranks over score ties
-    sorted_scores = scores[order]
-    i = 0
-    while i < len(scores):
-        j = i
-        while j + 1 < len(scores) and sorted_scores[j + 1] == sorted_scores[i]:
-            j += 1
-        if j > i:
-            ranks[order[i:j + 1]] = (i + j) / 2.0 + 1.0
-        i = j + 1
-    rank_sum = ranks[labels01 > 0].sum()
+    s = scores[order]
+    seg = np.zeros(n, bool)
+    seg[0] = True
+    r_avg = _tie_averaged_ranks(s, np.arange(1.0, n + 1.0), seg)
+    rank_sum = float(r_avg[labels01[order] > 0].sum())
     return (rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+
+def _segment_grouped_auc(codes: np.ndarray, y: np.ndarray,
+                         scores: np.ndarray):
+    """Per-group tie-averaged AUC for every group at once.
+
+    Returns (auc[int ngroups], glen, gstarts, order) where ``auc`` is 1.0
+    for single-class groups (reference except->1, metrics.py:69-74); the
+    caller masks size-1 groups (metrics.py:235-237).
+    """
+    n = len(codes)
+    order = np.lexsort((scores, codes))
+    c = codes[order]
+    s = scores[order]
+    yy = y[order].astype(np.float64)
+    gchange = np.empty(n, bool)
+    gchange[0] = True
+    gchange[1:] = c[1:] != c[:-1]
+    gstarts = np.flatnonzero(gchange)
+    glen = np.diff(np.append(gstarts, n))
+    # within-group ascending 1-based rank
+    gid = np.cumsum(gchange) - 1
+    r = np.arange(n, dtype=np.float64) - gstarts[gid] + 1.0
+    r_avg = _tie_averaged_ranks(s, r, gchange)
+    n_pos = np.add.reduceat(yy, gstarts)
+    n_neg = glen - n_pos
+    rank_sum_pos = np.add.reduceat(r_avg * yy, gstarts)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        auc = (rank_sum_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    auc = np.where((n_pos == 0) | (n_neg == 0), 1.0, auc)
+    return auc, glen, gstarts, order
 
 
 def grouped_auc(header_schema, headers, scores,
@@ -130,20 +203,14 @@ def grouped_auc(header_schema, headers, scores,
     keys = uuids if group_method == "uuid" else sids
     scores = np.asarray(scores, np.float64)
     codes = np.unique(keys, return_inverse=True)[1]
-    order = np.argsort(codes, kind="mergesort")
-    starts, ends = _group_segments(keys, order)
 
     out = {}
     for action in (CLICK, ORDER):
         y = (labels >= action).astype(np.int8)
-        total, n_valid = 0.0, 0
-        for gi in range(len(starts)):
-            seg = order[starts[gi]:ends[gi]]
-            if len(seg) == 1:
-                continue  # reference skips size-1 groups (metrics.py:235-237)
-            total += _auc_rank(y[seg], scores[seg])
-            n_valid += 1
-        out[action] = total / max(n_valid, 1)
+        auc, glen, _, _ = _segment_grouped_auc(codes, y, scores)
+        valid = glen >= 2
+        n_valid = int(valid.sum())
+        out[action] = float(auc[valid].sum()) / max(n_valid, 1)
     return out
 
 

@@ -24,7 +24,8 @@ import numpy as np
 
 from ..core.logging import log_to_file
 from .offline import (AT_LIST, CLICK, ORDER, _auc_rank, _group_segments,
-                      _parse_headers, _sort_groups)
+                      _parse_headers, _segment_grouped_auc,
+                      _segment_pre_mrr, _sort_groups)
 
 # reference weight ladder (metrics2.py:382)
 GRID_WEIGHTS = ((1.0, 0.05), (1.0, 0.1), (1.0, 0.25), (1.0, 0.5),
@@ -54,19 +55,7 @@ def precision_mrr_grouped(header_schema, headers, scores, *,
     out = {}
     for action in (CLICK, ORDER):
         hits = (sorted_labels >= action).astype(np.float64)
-        chits = np.concatenate([[0.0], np.cumsum(hits)])
-        pre = np.zeros(len(at_list))
-        mrr = np.zeros(len(at_list))
-        for gi in range(n_groups):
-            s, e = starts[gi], ends[gi]
-            nz = np.flatnonzero(hits[s:e])
-            first = nz[0] + 1 if len(nz) else np.inf
-            glen = e - s
-            for ai, N in enumerate(at_list):
-                k = min(N, glen)
-                pre[ai] += (chits[s + k] - chits[s]) / k
-                if first <= k:
-                    mrr[ai] += 1.0 / first
+        pre, mrr = _segment_pre_mrr(hits, starts, ends, at_list)
         out[action] = (pre / max(n_groups, 1), mrr / max(n_groups, 1))
     return out
 
@@ -100,27 +89,21 @@ def weighted_grouped_auc(header_schema, headers, scores, *,
     keys = _keys_for(group_method, sids, uuids)
     scores = np.asarray(scores, np.float64)
     codes = np.unique(keys, return_inverse=True)[1]
-    order = np.argsort(codes, kind="mergesort")
-    starts, ends = _group_segments(keys, order)
+    any_click = (labels >= 1).astype(np.float64)
 
     out = {}
     for action in (CLICK, ORDER):
         y = (labels >= action).astype(np.int8)
-        any_click = (labels >= 1).astype(np.int64)
-        total, total_w = 0.0, 0.0
-        for gi in range(len(starts)):
-            seg = order[starts[gi]:ends[gi]]
-            if len(seg) == 1:
-                continue
-            if weight_method == "impression":
-                w = float(len(seg))
-            elif weight_method == "click":
-                w = float(any_click[seg].sum())
-            else:
-                w = 1.0
-            total += _auc_rank(y[seg], scores[seg]) * w
-            total_w += w
-        out[action] = total / total_w if total_w > 0 else 0.0
+        auc, glen, gstarts, order = _segment_grouped_auc(codes, y, scores)
+        if weight_method == "impression":
+            w = glen.astype(np.float64)
+        elif weight_method == "click":
+            w = np.add.reduceat(any_click[order], gstarts)
+        else:
+            w = np.ones(len(glen))
+        w = np.where(glen >= 2, w, 0.0)  # size-1 groups skipped
+        total_w = float(w.sum())
+        out[action] = float((auc * w).sum()) / total_w if total_w > 0 else 0.0
     return out
 
 
@@ -202,8 +185,9 @@ def save_scores_csv(path: str, header_schema, headers, clk_scores,
                     ord_scores) -> None:
     """Tab-separated score dump (reference metrics3.save_to_local,
     :92-110): header fields + click/order scores, one row per example."""
+    import pandas as pd
     labels, sids, uuids = _parse_headers(header_schema, headers)
-    with open(path, "w") as f:
-        f.write("uuid\tsid\tlabel\tclick_score\torder_score\n")
-        for u, s, l, c, o in zip(uuids, sids, labels, clk_scores, ord_scores):
-            f.write(f"{u}\t{s}\t{l}\t{c}\t{o}\n")
+    pd.DataFrame({"uuid": uuids, "sid": sids, "label": labels,
+                  "click_score": np.asarray(clk_scores),
+                  "order_score": np.asarray(ord_scores)}).to_csv(
+        path, sep="\t", index=False)

@@ -17,6 +17,7 @@ import time
 from typing import Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.checkpoint import CheckpointManager
@@ -28,47 +29,71 @@ from ..metrics.streaming import (task_metrics_init, task_metrics_update,
                                  task_metrics_values)
 from ..models.zoo import BaseModel, build_model
 from .losses import (multi_task_loss, multi_task_unbias_loss,
-                     scores_from_logits, single_task_loss)
+                     scores_from_logits, single_task_loss,
+                     single_task_unbias_loss)
 
 
-def make_eval_step(cfg: DMTConfig, model: BaseModel, rel_only: bool = False):
-    """Jitted eval step: scores + loss + metric update on one batch."""
+def make_eval_step(cfg: DMTConfig, model: BaseModel, rel_only: bool = False,
+                   collect_gates: bool = False):
+    """Jitted eval step: scores + loss + metric update on one batch.
+
+    With ``collect_gates`` (mmoe-family models) the step also returns the
+    valid-weighted per-task gate-softmax sum [T, E] — the gate tensors the
+    reference's predict() fetches by name every batch
+    (reference run_dnn.py:721-725,777-814).  The recomputed trunk CSEs with
+    the apply() trunk inside the same jit, so this costs no extra matmuls.
+    """
 
     def eval_fn(params, mstate, metrics, batch):
         out, _ = model.apply(params, mstate, batch, train=False)
         uncertainty = params.get("uncertainty") if isinstance(params, dict) else None
-        if cfg.is_unbias_model:
+        if cfg.is_unbias_model and model.num_tasks == 2:
             loss = multi_task_unbias_loss(cfg, out, batch["mask"], uncertainty)
+        elif cfg.is_unbias_model:
+            loss = single_task_unbias_loss(cfg, out, batch["mask"],
+                                           batch["label"], train=False)
         elif model.num_tasks == 2:
             loss = multi_task_loss(cfg, out, batch["mask"], uncertainty)
         else:
-            loss = single_task_loss(cfg, out, batch["mask"], train=False)
+            loss = single_task_loss(cfg, out, batch["mask"], batch["label"],
+                                    train=False)
         p_ctr, p_cvr = scores_from_logits(cfg, out, rel_only=rel_only)
         metrics = task_metrics_update(
             metrics, mask=batch["mask"], p_ctr=p_ctr, p_cvr=p_cvr,
             loss=loss, weights=batch["valid"])
-        return metrics, p_ctr, p_cvr
+        if collect_gates:
+            gates = model.gate_values(params, batch)          # [T, B, E]
+            gate_sum = jnp.einsum("tbe,b->te", gates, batch["valid"])
+            return metrics, p_ctr, p_cvr, gate_sum
+        return metrics, p_ctr, p_cvr, None
 
     return jax.jit(eval_fn, donate_argnums=(2,))
 
 
 def run_eval(cfg: DMTConfig, model: BaseModel, params, mstate,
              data_path: str, batch_size: int, *, rel_only: bool = False,
-             data_iter: Optional[Iterator[Batch]] = None, mesh=None):
+             data_iter: Optional[Iterator[Batch]] = None, mesh=None,
+             collect_gates: bool = False):
     """Drain an eval split; returns (metric values, headers, p_clk, p_ord).
 
     With ``mesh``, batches shard over the data axis and the sharded
-    embedding engine serves row-split tables (multi-chip eval)."""
+    embedding engine serves row-split tables (multi-chip eval).
+
+    With ``collect_gates`` (mmoe-family models only) a 5th element is
+    returned: the valid-weighted mean gate softmax per task, shape
+    [num_tasks, num_experts] (reference run_dnn.py:777-814)."""
     if mesh is not None:
         from ..core.mesh import batch_sharding
         from ..parallel.embedding_shard import make_engine
         model.engine = make_engine(cfg, mesh)
         bsh = batch_sharding(mesh)
-    step_fn = make_eval_step(cfg, model, rel_only)
+    step_fn = make_eval_step(cfg, model, rel_only, collect_gates)
     metrics = task_metrics_init()
     headers: list[bytes] = []
     clk_scores: list[np.ndarray] = []
     ord_scores: list[np.ndarray] = []
+    gate_total: Optional[np.ndarray] = None
+    n_total = 0
     if data_iter is None:
         from .loop import make_input_stream
         data_iter = prefetch(make_input_stream(
@@ -79,14 +104,23 @@ def run_eval(cfg: DMTConfig, model: BaseModel, params, mstate,
             jb = {k: jax.device_put(v, bsh) for k, v in batch.arrays.items()}
         else:
             jb = {k: jax.numpy.asarray(v) for k, v in batch.arrays.items()}
-        metrics, p_ctr, p_cvr = step_fn(params, mstate, metrics, jb)
+        metrics, p_ctr, p_cvr, gate_sum = step_fn(params, mstate, metrics, jb)
         n_valid = int(batch["valid"].sum())
         clk_scores.append(np.asarray(p_ctr)[:n_valid])
         ord_scores.append(np.asarray(p_cvr)[:n_valid])
         headers.extend(batch.headers[:n_valid])
+        if gate_sum is not None:
+            gs = np.asarray(gate_sum, np.float64)
+            gate_total = gs if gate_total is None else gate_total + gs
+            n_total += n_valid
     p_clk = np.concatenate(clk_scores) if clk_scores else np.zeros(0)
     p_ord = np.concatenate(ord_scores) if ord_scores else np.zeros(0)
-    return task_metrics_values(metrics), headers, p_clk, p_ord
+    vals = task_metrics_values(metrics)
+    if collect_gates:
+        gate_mean = (gate_total / max(n_total, 1)
+                     if gate_total is not None else None)
+        return vals, headers, p_clk, p_ord, gate_mean
+    return vals, headers, p_clk, p_ord
 
 
 _ITER_RE = re.compile(r">> iter_steps:(\d+)")
@@ -193,19 +227,40 @@ def predict(cfg: DMTConfig, ckpt_step: int, test_tag: str = "",
         if os.path.exists(p):
             os.remove(p)
 
+    # mmoe-family models surface their expert-gate distributions in the
+    # test result file (reference predict() fetches the gate softmax
+    # tensors by name each batch, run_dnn.py:721-725,777-814)
+    collect_gates = hasattr(model, "gate_values")
+
     results = {}
     for test_path in paths:
         test_path = test_path.strip()
         if not test_path:
             continue
-        vals, headers, p_clk, p_ord = run_eval(
-            cfg, model, params, mstate, test_path, cfg.test_batch_size,
-            rel_only=rel_only)
+        gate_mean = None
+        if collect_gates:
+            vals, headers, p_clk, p_ord, gate_mean = run_eval(
+                cfg, model, params, mstate, test_path, cfg.test_batch_size,
+                rel_only=rel_only, collect_gates=True)
+        else:
+            vals, headers, p_clk, p_ord = run_eval(
+                cfg, model, params, mstate, test_path, cfg.test_batch_size,
+                rel_only=rel_only)
         log_line(f"test[{test_path}]: " + " | ".join(
             f"{k} {v:.6f}" for k, v in vals.items()))
         log_to_file("\n".join([f">> ckpt:{ckpt_step} path:{test_path}"] +
                               [f"test_{k}:{v}" for k, v in vals.items()]),
                     out_file)
+        if gate_mean is not None:
+            gate_lines = []
+            for t, task in enumerate(("click", "order")[:gate_mean.shape[0]]):
+                for e in range(gate_mean.shape[1]):
+                    gate_lines.append(
+                        f"gate_{task}_expert_{e}: {gate_mean[t, e]}")
+            log_to_file("\n".join(gate_lines), out_file)
+            log_line("mean gate softmax per task: " + "; ".join(
+                f"{task} {np.array2string(gate_mean[t], precision=4)}"
+                for t, task in enumerate(("click", "order")[:gate_mean.shape[0]])))
         with open(detail_file, "a") as f:
             for h, sc, so in zip(headers, p_clk, p_ord):
                 f.write(h.decode() + f"\t{sc}\t{so}\n")
@@ -224,6 +279,8 @@ def predict(cfg: DMTConfig, ckpt_step: int, test_tag: str = "",
             "overall_auc": {"click": oauc_clk[offline.CLICK],
                             "order": oauc_ord[offline.ORDER]},
         }
+        if gate_mean is not None:
+            results[test_path]["gate_mean"] = gate_mean
         if grid_search:
             # metrics2-style blend-weight sweep + per-head/weighted AUCs
             from ..metrics.offline_ext import grid_search as run_grid

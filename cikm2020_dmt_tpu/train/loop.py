@@ -32,7 +32,7 @@ from ..metrics.streaming import (task_metrics_init, task_metrics_update,
 from ..models.zoo import BaseModel, build_model
 from .losses import (l2_regularization, multi_task_loss,
                      multi_task_unbias_loss, scores_from_logits,
-                     single_task_loss)
+                     single_task_loss, single_task_unbias_loss)
 from .optim import make_optimizer
 
 def make_input_stream(cfg, path_spec, batch_size, **kw):
@@ -53,14 +53,18 @@ def make_loss_fn(cfg: DMTConfig, model: BaseModel):
     def loss_fn(params, mstate, batch, rng):
         out, new_state = model.apply(params, mstate, batch, train=True, rng=rng)
         uncertainty = params.get("uncertainty") if isinstance(params, dict) else None
-        if cfg.is_unbias_model:
+        if cfg.is_unbias_model and model.num_tasks == 2:
             loss = multi_task_unbias_loss(cfg, out, batch["mask"], uncertainty)
+        elif cfg.is_unbias_model:
+            loss = single_task_unbias_loss(cfg, out, batch["mask"],
+                                           batch["label"], train=True)
         elif model.num_tasks == 2:
             sw = batch["propensity_weight_mul"] if cfg.propensity_em else None
             loss = multi_task_loss(cfg, out, batch["mask"], uncertainty,
                                    sample_weight=sw)
         else:
-            loss = single_task_loss(cfg, out, batch["mask"], train=True)
+            loss = single_task_loss(cfg, out, batch["mask"], batch["label"],
+                                    train=True)
         if cfg.wnd_wd > 1e-5:  # reference gate (run_dnn.py:174)
             loss = loss + l2_regularization(cfg, params, batch)
         return loss, (out, new_state)
@@ -198,7 +202,11 @@ class Trainer:
         tstate = self.init_state()
         start_step = 0
         if resume_step is not None and self.ckpt.has_step(resume_step):
-            tstate = self.ckpt.restore(resume_step, tstate)
+            # numpy template: every process restores full host arrays, then
+            # shard_state() places them on the mesh (sharded saves restore
+            # cleanly regardless of the saving topology)
+            template = jax.tree_util.tree_map(np.asarray, tstate)
+            tstate = self.ckpt.restore(resume_step, template)
             start_step = resume_step
             log_line(f"resumed from model.ckpt-{resume_step}")
         elif cfg.update_emb:
@@ -224,6 +232,18 @@ class Trainer:
         profile_dir = profile_dir or os.environ.get("DMT_PROFILE_DIR")
         step = start_step
         eps = 0.0
+        # SIGTERM (preemption, job scheduler kill) takes the same emergency-
+        # checkpoint path as Ctrl-C so an evicted run resumes cleanly
+        import signal
+
+        def _sigterm(signum, frame):
+            raise KeyboardInterrupt(f"signal {signum}")
+
+        prev_handler = None
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _sigterm)
+        except ValueError:
+            pass  # not the main thread; Ctrl-C path still covered
         try:
             for batch, dev_batch in self.device_prefetch(data_iter):
                 if step >= max_steps:
@@ -262,15 +282,22 @@ class Trainer:
                 log_line(f"interrupted at step {step}; saving emergency ckpt")
                 self._save(tstate, step, metrics)
             raise
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
         if step != start_step and not self.ckpt.has_step(step):
             self._save(tstate, step, metrics)
         return task_metrics_values(metrics)
 
     def _save(self, tstate: dict, step: int, metrics) -> None:
-        host_state = jax.tree_util.tree_map(np.asarray, tstate)
-        self.ckpt.save(step, host_state)
-        vals = task_metrics_values(metrics)
-        lines = [f">> iter_steps:{step}"] + [
-            f"train_{k}:{v}" for k, v in vals.items()]
-        log_to_file("\n".join(lines), self.cfg.train_result_path)
-        log_line(f"saved model.ckpt-{step} (+DONE marker)")
+        # Save the sharded jax.Arrays directly: Orbax writes each process's
+        # addressable shards and barriers across processes, so no host
+        # gather of the full Sku table (+Adam moments) per save, and no
+        # np.asarray crash on non-fully-addressable multi-host arrays.
+        self.ckpt.save(step, tstate)
+        if jax.process_index() == 0:
+            vals = task_metrics_values(metrics)
+            lines = [f">> iter_steps:{step}"] + [
+                f"train_{k}:{v}" for k, v in vals.items()]
+            log_to_file("\n".join(lines), self.cfg.train_result_path)
+            log_line(f"saved model.ckpt-{step} (+DONE marker)")

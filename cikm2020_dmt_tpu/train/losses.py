@@ -121,18 +121,55 @@ def multi_task_unbias_loss(cfg: DMTConfig, logits, mask: jnp.ndarray,
 
 
 def single_task_loss(cfg: DMTConfig, logits: jnp.ndarray, mask: jnp.ndarray,
+                     labels: Optional[jnp.ndarray] = None,
                      train: bool = True) -> jnp.ndarray:
     """Single-logit CTR loss for mlp/embed_mlp/transformer models.
 
     The reference's single-task ``loss`` (inference_mlp.py:146-160) feeds the
-    *raw multi-valued label* (0..5) into sigmoid CE; we use the derived
-    binary click label instead (documented deviation — the raw-label CE is
-    not a proper binary objective).
+    *raw multi-valued label* (0..5) into sigmoid CE; by default we use the
+    derived binary click label instead (documented deviation — the raw-label
+    CE is not a proper binary objective).  ``cfg.single_task_raw_label``
+    opts into exact reference fidelity when ``labels`` (the raw label
+    column) is provided.
     """
-    labels_clk, _ = derive_task_labels(mask)
+    if cfg.single_task_raw_label and labels is not None:
+        target = labels.reshape(-1).astype(mask.dtype)
+    else:
+        target, _ = derive_task_labels(mask)
     weights = cfg.train_weight if train else cfg.valid_weight
     w = jnp.asarray(cfg.weight_vector(weights), mask.dtype)
-    xent = sigmoid_xent(logits.reshape(-1), labels_clk)
+    xent = sigmoid_xent(logits.reshape(-1), target)
+    return weighted_class_reduce(xent, mask, w)
+
+
+def single_task_unbias_loss(cfg: DMTConfig, logits, mask: jnp.ndarray,
+                            labels: Optional[jnp.ndarray] = None,
+                            train: bool = True) -> jnp.ndarray:
+    """Single-head unbiased loss for ``embed_mlp_unbias``.
+
+    The reference dispatches this model type (inference_mlp.py:33-35) but
+    its source was never committed (bytecode-only, SURVEY.md §2.4.1); this
+    is the single-task analog of ``logit_loss_unbias``
+    (inference_mlp.py:173-223): CE on the biased prob sigma(rel [+|*] bias)
+    plus (ctr_rel mode) CE on the relevance-only prob, click-task class
+    weights.
+    """
+    y_rel, y_bias = logits
+    y_rel = y_rel.reshape(-1)
+    y_bias = y_bias.reshape(-1)
+    if cfg.loss_unbias_method == "two_head_multiply":
+        p = jax.nn.sigmoid(y_rel) * jax.nn.sigmoid(y_bias)
+    else:  # two_head_add
+        p = jax.nn.sigmoid(y_rel + y_bias)
+    if cfg.single_task_raw_label and labels is not None:
+        target = labels.reshape(-1).astype(mask.dtype)
+    else:
+        target, _ = derive_task_labels(mask)
+    xent = binary_xent_from_prob(p, target)
+    if cfg.loss_ctr_rel_method == "ctr_rel":
+        xent = xent + binary_xent_from_prob(jax.nn.sigmoid(y_rel), target)
+    weights = cfg.train_weight if train else cfg.valid_weight
+    w = jnp.asarray(cfg.weight_vector(weights), mask.dtype)
     return weighted_class_reduce(xent, mask, w)
 
 
@@ -152,6 +189,18 @@ def scores_from_logits(cfg: DMTConfig, logits, *, rel_only: bool = False):
                     jax.nn.sigmoid(order_logit) * jax.nn.sigmoid(y_bias))
         return (jax.nn.sigmoid(click_logit + y_bias),
                 jax.nn.sigmoid(order_logit + y_bias))
+    if isinstance(logits, tuple) and cfg.is_unbias_model and not cfg.is_multi_task:
+        # single-head unbias (embed_mlp_unbias): (rel_logit, bias_logit)
+        y_rel, y_bias = logits
+        y_rel = y_rel.reshape(-1)
+        y_bias = y_bias.reshape(-1)
+        if rel_only:
+            p = jax.nn.sigmoid(y_rel)
+        elif cfg.loss_unbias_method == "two_head_multiply":
+            p = jax.nn.sigmoid(y_rel) * jax.nn.sigmoid(y_bias)
+        else:
+            p = jax.nn.sigmoid(y_rel + y_bias)
+        return p, p
     if isinstance(logits, tuple):
         click_logit, order_logit = logits
         return (jax.nn.sigmoid(click_logit.reshape(-1)),

@@ -66,9 +66,31 @@ def worker(process_id: int) -> None:
             tstate, metrics, dev_batch, jax.random.fold_in(
                 jax.random.PRNGKey(0), i))
     loss = float(loss)
+
+    # -- save -> restore -> resume across both processes -----------------
+    # Sharded jax.Arrays go straight into Orbax (each process writes its
+    # addressable shards; process 0 writes the DONE marker after the commit
+    # barrier), then every process restores full host arrays from a numpy
+    # template and re-shards — the same path Trainer.train takes on resume.
+    from cikm2020_dmt_tpu.core.checkpoint import CheckpointManager
+    ckpt_dir = os.environ["SMOKE_CKPT_DIR"]
+    ckpt = CheckpointManager(ckpt_dir)
+    ckpt.save(3, tstate)
+    assert ckpt.has_step(3), "DONE marker missing after multiprocess save"
+    template = jax.tree_util.tree_map(np.asarray, trainer.init_state())
+    restored = trainer.shard_state(ckpt.restore(3, template))
+    # continue one identical step from the live and the restored state:
+    # losses must match exactly (CPU arithmetic is deterministic)
+    rng4 = jax.random.fold_in(jax.random.PRNGKey(0), 3)
+    _, _, loss_live = step_fn(tstate, task_metrics_init(), dev_batch, rng4)
+    _, _, loss_res = step_fn(restored, task_metrics_init(), dev_batch, rng4)
+    loss_live, loss_res = float(loss_live), float(loss_res)
+
     if process_id == 0:
         assert loss == loss and abs(loss) < 1e6, f"bad loss {loss}"
-        print(f"MULTIHOST_OK loss={loss:.4f} "
+        assert loss_live == loss_res, \
+            f"resume mismatch: live {loss_live} vs restored {loss_res}"
+        print(f"MULTIHOST_OK loss={loss:.4f} resume_loss={loss_res:.4f} "
               f"processes={jax.process_count()} devices={jax.device_count()}")
 
 

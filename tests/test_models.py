@@ -44,6 +44,10 @@ class TestZooForward:
             assert clk.shape == (B, 1) and ordr.shape == (B, 1)
             assert bias.shape == (B, 1)
             assert np.isfinite(np.asarray(bias)).all()
+        elif model_type == "embed_mlp_unbias":
+            clk, bias = out
+            assert clk.shape == (B, 1) and bias.shape == (B, 1)
+            assert np.isfinite(np.asarray(bias)).all()
         elif model.num_tasks == 2:
             clk, ordr = out
             assert clk.shape == (B, 1) and ordr.shape == (B, 1)
@@ -120,6 +124,99 @@ class TestScores:
         np.testing.assert_allclose(
             np.asarray(r_ctr),
             1 / (1 + np.exp(-np.asarray(clk).reshape(-1))), rtol=1e-5)
+
+
+@needs_demo_data
+class TestEmbedMLPUnbias:
+    """embed_mlp_unbias: reference-dispatched (inference_mlp.py:33-35) but
+    bytecode-only upstream; reconstructed as embed_mlp trunk + bias net."""
+
+    def test_predict_mode_drops_bias_head(self, demo_batch):
+        cfg, model = _build("embed_mlp_unbias")
+        params, state = model.init(jax.random.PRNGKey(0))
+        out, _ = model.apply(params, state, demo_batch, train=False,
+                             is_predict=True)
+        assert out.shape == (B, 1)  # rel-only logit
+
+    def test_loss_and_grads_finite(self, demo_batch):
+        cfg, model = _build("embed_mlp_unbias")
+        params, state = model.init(jax.random.PRNGKey(0))
+
+        def loss_fn(p):
+            out, _ = model.apply(p, state, demo_batch, train=True,
+                                 rng=jax.random.PRNGKey(1))
+            return losses.single_task_unbias_loss(
+                cfg, out, demo_batch["mask"], demo_batch["label"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(loss))
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+        # bias net must receive gradient (biased-prob CE term)
+        g_bias = jax.tree_util.tree_leaves(grads["bias_net"])
+        assert sum(float(jnp.abs(g).sum()) for g in g_bias) > 0
+
+    def test_scores_blend_and_rel_only(self, demo_batch):
+        cfg, model = _build("embed_mlp_unbias")
+        params, state = model.init(jax.random.PRNGKey(0))
+        out, _ = model.apply(params, state, demo_batch, train=False)
+        y_rel, y_bias = (np.asarray(t).reshape(-1) for t in out)
+        p_ctr, p_cvr = losses.scores_from_logits(cfg, out)
+        np.testing.assert_allclose(np.asarray(p_ctr),
+                                   1 / (1 + np.exp(-(y_rel + y_bias))),
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(p_ctr), np.asarray(p_cvr))
+        r_ctr, _ = losses.scores_from_logits(cfg, out, rel_only=True)
+        np.testing.assert_allclose(np.asarray(r_ctr),
+                                   1 / (1 + np.exp(-y_rel)), rtol=1e-5)
+
+    def test_trains_end_to_end(self, demo_batch, tmp_path):
+        from cikm2020_dmt_tpu.train.loop import Trainer
+        cfg = make_demo_config(model_type="embed_mlp_unbias",
+                               output_path=str(tmp_path), batch_size=B)
+        trainer = Trainer(cfg)
+        vals = trainer.train(DEMO_DATA, max_steps=2)
+        assert np.isfinite(vals["loss"])
+
+
+@needs_demo_data
+class TestRawLabelFidelity:
+    def test_raw_label_switch_changes_loss(self, demo_batch):
+        """cfg.single_task_raw_label feeds the raw 0..5 label into sigmoid
+        CE exactly like the reference (inference_mlp.py:146-160)."""
+        cfg_bin, model = _build("embed_mlp")
+        cfg_raw = make_demo_config(model_type="embed_mlp",
+                                   single_task_raw_label=True)
+        params, state = model.init(jax.random.PRNGKey(0))
+        out, _ = model.apply(params, state, demo_batch, train=False)
+        l_bin = losses.single_task_loss(cfg_bin, out, demo_batch["mask"],
+                                        demo_batch["label"], train=True)
+        l_raw = losses.single_task_loss(cfg_raw, out, demo_batch["mask"],
+                                        demo_batch["label"], train=True)
+        assert np.isfinite(float(l_bin)) and np.isfinite(float(l_raw))
+        # demo batch contains ordered examples (label>1) so the raw-label
+        # CE target differs from the binary click target
+        labels = np.asarray(demo_batch["label"]).reshape(-1)
+        if (labels > 1).any():
+            assert float(l_bin) != float(l_raw)
+
+    def test_raw_label_matches_manual_ce(self, demo_batch):
+        cfg = make_demo_config(model_type="embed_mlp",
+                               single_task_raw_label=True)
+        model = build_model(cfg)
+        params, state = model.init(jax.random.PRNGKey(0))
+        out, _ = model.apply(params, state, demo_batch, train=False)
+        got = float(losses.single_task_loss(cfg, out, demo_batch["mask"],
+                                            demo_batch["label"], train=True))
+        z = np.asarray(out, np.float64).reshape(-1)
+        y = np.asarray(demo_batch["label"], np.float64).reshape(-1)
+        xent = np.maximum(z, 0) - z * y + np.log1p(np.exp(-np.abs(z)))
+        mask = np.asarray(demo_batch["mask"], np.float64)
+        w = np.asarray(cfg.weight_vector(cfg.train_weight), np.float64)
+        per_ex = (mask * w).sum(-1)
+        # weighted_class_reduce: sum_c mean_b (mask[b,c] w[c] xent[b])
+        want = float((xent * per_ex).sum() / mask.shape[0])
+        np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
 @needs_demo_data

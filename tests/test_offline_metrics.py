@@ -128,3 +128,41 @@ class TestOverallAUC:
         np.testing.assert_allclose(
             got[offline.ORDER],
             roc_auc_score((labels >= 5).astype(int), scores), rtol=1e-9)
+
+
+class TestVectorizedScale:
+    """The reference processes a 105.4M-row test split with a process pool
+    (metrics.py:134-199); the segment-kernel implementation must handle
+    millions of rows / groups in seconds without one."""
+
+    def test_2m_rows_300k_groups_fast_and_consistent(self):
+        import time
+        rng = np.random.default_rng(11)
+        n = 2_000_000
+        sids = rng.integers(0, 300_000, n)
+        uuids = rng.integers(0, 150_000, n)
+        labels = rng.choice([0, 0, 0, 1, 2, 4, 5], n)
+        # quantized scores force heavy ties through the tie-averaging path
+        scores = np.round(rng.random(n), 3)
+        headers = _make_headers(sids, uuids, labels)
+        t0 = time.time()
+        pm = offline.precision_mrr_at_n(SCHEMA, headers, scores)
+        ga = offline.grouped_auc(SCHEMA, headers, scores, "uuid")
+        elapsed = time.time() - t0
+        assert elapsed < 120, f"vectorized metrics too slow: {elapsed:.1f}s"
+        for action in (offline.CLICK, offline.ORDER):
+            pre, mrr = pm[action]
+            assert ((pre >= 0) & (pre <= 1)).all()
+            assert ((mrr >= 0) & (mrr <= 1)).all()
+            assert 0.0 <= ga[action] <= 1.0
+
+        # spot-check exactness against the per-group oracle on a small slice
+        m = sids < 50
+        sub_headers = _make_headers(sids[m], uuids[m], labels[m])
+        got = offline.precision_mrr_at_n(SCHEMA, sub_headers, scores[m])
+        want = _reference_pre_mrr(sub_headers, scores[m])
+        for action in (offline.CLICK, offline.ORDER):
+            np.testing.assert_allclose(got[action][0], want[action][0],
+                                       rtol=1e-9)
+            np.testing.assert_allclose(got[action][1], want[action][1],
+                                       rtol=1e-9)

@@ -123,7 +123,8 @@ class TestTrainLoop:
 @needs_demo_data
 class TestEvalAndPredict:
     def _train_one(self, tmp_path, **kw):
-        cfg = make_demo_config(model_type="mlp", batch_size=32,
+        kw.setdefault("model_type", "mlp")
+        cfg = make_demo_config(batch_size=32,
                                validate_step=4, output_path=str(tmp_path),
                                epoch_num=2, **kw)
         Trainer(cfg).train(data_path=DEMO_DATA, max_steps=4, log_every=100)
@@ -151,6 +152,34 @@ class TestEvalAndPredict:
         with open(detail[0]) as f:
             first = f.readline().split("\t")
         assert len(first) == 13 + 2  # header fields + 2 scores
+
+    def test_predict_surfaces_mmoe_gates(self, tmp_path):
+        """mmoe-family predict must fetch + log the per-task gate softmax
+        means, like the reference's predict() does by tensor name every
+        batch (reference run_dnn.py:721-725,777-814)."""
+        cfg = self._train_one(tmp_path, model_type="mmoe")
+        results = predict(cfg, 4)
+        r = next(iter(results.values()))
+        gm = r["gate_mean"]
+        assert gm.shape == (2, cfg.num_experts)
+        # valid-weighted mean of softmax rows still sums to 1 per task
+        np.testing.assert_allclose(gm.sum(-1), np.ones(2), rtol=1e-5)
+        out_file = glob.glob(os.path.join(str(tmp_path), "*.test_result*"))
+        out_file = [p for p in out_file if not p.endswith(".detail")]
+        assert out_file
+        text = open(out_file[0]).read()
+        assert "gate_click_expert_0" in text
+        assert "gate_order_expert_" in text
+
+    def test_run_eval_collect_gates(self, tmp_path):
+        cfg = make_demo_config(model_type="mmoe")
+        model = build_model(cfg)
+        params, mstate = model.init(jax.random.PRNGKey(0))
+        vals, headers, p_clk, p_ord, gate_mean = run_eval(
+            cfg, model, params, mstate, DEMO_DATA, batch_size=64,
+            collect_gates=True)
+        assert gate_mean.shape == (2, cfg.num_experts)
+        np.testing.assert_allclose(gate_mean.sum(-1), np.ones(2), rtol=1e-5)
 
     def test_run_eval_padding_correctness(self, tmp_path):
         """Eval scores must cover exactly the real rows (no pad rows)."""
