@@ -282,6 +282,10 @@ class DMTConfig:
     dedup_grads: bool = True
     dedup_rows_threshold: int = 1_000_000
     dedup_budget_div: int = 8
+    # sharded sequence lookups: dedup + all_gather of owned unique rows
+    # (collective moves ~2*(bL/dedup_budget_div)*D bytes) instead of the
+    # full-grid [B, L, D] psum; falls back to the psum on budget overflow
+    shard_seq_exchange: bool = True
     # store embedding tables packed 128//dim logical rows per 128-lane
     # physical row: TPU gathers/scatters cost per (8,128) tile, so packing
     # measured 15x faster gathers / 6.7x faster scatter-adds at equal

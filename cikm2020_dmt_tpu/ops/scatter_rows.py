@@ -286,6 +286,51 @@ def _dedup_grad_table(ids_flat: jnp.ndarray, g_flat: jnp.ndarray,
     return jax.lax.cond(nuniq <= budget, fast, slow, None)
 
 
+# ---------------------------------------------------------------------------
+# Scatter-free dedup gather: forward is a plain row gather; backward routes
+# the cotangent with segment-sum + GATHERS only (no serialized scatter at
+# all).  Used by the sharded sequence path, where the caller has already
+# sorted the ids: it supplies the sort order, the run index per sorted
+# element, and the inverse bucket->run map, all precomputed as pure gather
+# arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def gather_dedup(num_unique: int, rows: jnp.ndarray, final_idx: jnp.ndarray,
+                 order: jnp.ndarray, seg: jnp.ndarray,
+                 slot_to_run: jnp.ndarray) -> jnp.ndarray:
+    """rows[final_idx] whose backward is segment-sum + gather.
+
+    - ``final_idx`` [N]: row index per output element
+    - ``order`` [N]: permutation sorting the original elements by id
+    - ``seg`` [N]: run index (0..num_unique) per SORTED element; elements of
+      one run share one final_idx value
+    - ``slot_to_run`` [len(rows)]: run index feeding each row slot, or
+      ``num_unique`` for slots fed by no run (cotangent 0)
+    """
+    return jnp.take(rows, final_idx, axis=0, mode="clip")
+
+
+def _gather_dedup_fwd(num_unique, rows, final_idx, order, seg, slot_to_run):
+    out = jnp.take(rows, final_idx, axis=0, mode="clip")
+    return out, (order, seg, slot_to_run)
+
+
+def _gather_dedup_bwd(num_unique, res, g):
+    order, seg, slot_to_run = res
+    d = g.shape[-1]
+    gs = g.reshape(-1, d)[order]
+    run_sums = jax.ops.segment_sum(gs, seg, num_segments=num_unique)
+    run_sums = jnp.concatenate(
+        [run_sums, jnp.zeros((1, d), run_sums.dtype)], axis=0)
+    g_rows = jnp.take(run_sums, slot_to_run, axis=0)
+    return g_rows, None, None, None, None
+
+
+gather_dedup.defvjp(_gather_dedup_fwd, _gather_dedup_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def dedup_take(table: jnp.ndarray, ids: jnp.ndarray,
                budget_div: int = 4) -> jnp.ndarray:

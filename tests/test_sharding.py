@@ -85,6 +85,104 @@ class TestShardedLookups:
         np.testing.assert_allclose(np.asarray(g_shard), np.asarray(g_rep),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_seq_gradient_matches_replicated(self, mesh22, rng):
+        """Gradient parity through the dedup+all_gather exchange path."""
+        cfg, mesh = mesh22
+        engine = ShardedEmbeddingEngine(cfg, mesh)
+        table, ids, _, _ = _rand_lookup_case(rng)
+        target = rng.normal(size=(8, 6, 8)).astype(np.float32)
+
+        def loss_rep(t):
+            return jnp.sum((seq_lookup(t, jnp.asarray(ids), True)
+                            - target) ** 2)
+
+        def loss_shard(t):
+            return jnp.sum((engine.seq("T", t, jnp.asarray(ids), True)
+                            - target) ** 2)
+
+        g_rep = jax.grad(loss_rep)(jnp.asarray(table))
+        with jax.sharding.set_mesh(mesh):
+            g_shard = jax.grad(loss_shard)(jnp.asarray(table))
+        np.testing.assert_allclose(np.asarray(g_shard), np.asarray(g_rep),
+                                   rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("case", ["unique_overflow", "owner_skew"])
+    def test_seq_exchange_fallback_branches(self, case, rng):
+        """Budget overflow (unique ids > bL/div) and per-owner capacity
+        skew must both take the psum fallback and still match the
+        replicated lookup, values AND gradients."""
+        cfg = make_demo_config(mesh_data=2, mesh_model=4,
+                               shard_rows_threshold=64)
+        mesh = build_mesh(cfg)
+        engine = ShardedEmbeddingEngine(cfg, mesh)
+        rows, dim, B, L = 2048, 8, 16, 64   # bl=512/local > U=256
+        table = rng.normal(size=(rows, dim)).astype(np.float32)
+        if case == "unique_overflow":
+            # all-unique ids -> nuniq(512) > U(256)
+            ids = rng.permutation(rows)[:B * L].reshape(B, L).astype(np.int32)
+        else:
+            # <=256 uniques but all owned by shard 0 -> counts[0] > C(128)
+            ids = rng.integers(0, rows // 4, (B, L)).astype(np.int32)
+        want = seq_lookup(jnp.asarray(table), jnp.asarray(ids), True)
+        with jax.sharding.set_mesh(mesh):
+            got = engine.seq("T", jnp.asarray(table), jnp.asarray(ids), True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+        def loss_rep(t):
+            return jnp.sum(seq_lookup(t, jnp.asarray(ids), True) ** 2)
+
+        def loss_shard(t):
+            return jnp.sum(engine.seq("T", t, jnp.asarray(ids), True) ** 2)
+
+        g_rep = jax.grad(loss_rep)(jnp.asarray(table))
+        with jax.sharding.set_mesh(mesh):
+            g_shard = jax.grad(loss_shard)(jnp.asarray(table))
+        np.testing.assert_allclose(np.asarray(g_shard), np.asarray(g_rep),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_seq_exchange_vs_psum_same_result(self, rng):
+        """shard_seq_exchange on/off must agree (fast branch exercised:
+        duplicated Zipf-ish ids keep uniques under budget)."""
+        cfg_ex = make_demo_config(mesh_data=2, mesh_model=4,
+                                  shard_rows_threshold=64)
+        cfg_ps = make_demo_config(mesh_data=2, mesh_model=4,
+                                  shard_rows_threshold=64,
+                                  shard_seq_exchange=False)
+        mesh = build_mesh(cfg_ex)
+        rows, dim, B, L = 2048, 8, 16, 64
+        table = rng.normal(size=(rows, dim)).astype(np.float32)
+        ids = rng.integers(0, 60, (B, L)).astype(np.int32) * 31 % rows
+        with jax.sharding.set_mesh(mesh):
+            a = ShardedEmbeddingEngine(cfg_ex, mesh).seq(
+                "T", jnp.asarray(table), jnp.asarray(ids), True)
+            b = ShardedEmbeddingEngine(cfg_ps, mesh).seq(
+                "T", jnp.asarray(table), jnp.asarray(ids), True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_packed_table_sharded_seq_matches_replicated(self, rng):
+        """Lane-packed table (4x 32-dim rows per 128-lane row) served
+        through the sharded exchange path must match the replicated
+        packed lookup."""
+        from cikm2020_dmt_tpu.nn.embedding import pack_table
+        from cikm2020_dmt_tpu.parallel.embedding_shard import EmbeddingEngine
+        cfg = make_demo_config(mesh_data=4, mesh_model=2,
+                               shard_rows_threshold=64,
+                               pack_rows_threshold=50_000)
+        mesh = build_mesh(cfg)
+        rows, dim = 100_000, 32      # the demo Sku spec
+        logical = rng.normal(size=(rows, dim)).astype(np.float32)
+        packed = pack_table(jnp.asarray(logical))     # [25000, 128]
+        ids = (rng.zipf(1.3, (8, 50)) % rows).astype(np.int32)
+        rep = EmbeddingEngine(cfg)
+        want = rep.seq("Sku", packed, jnp.asarray(ids), True)
+        with jax.sharding.set_mesh(mesh):
+            got = ShardedEmbeddingEngine(cfg, mesh).seq(
+                "Sku", packed, jnp.asarray(ids), True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_make_engine_dispatch(self, mesh22):
         cfg, mesh = mesh22
         assert isinstance(make_engine(cfg, mesh), ShardedEmbeddingEngine)
