@@ -136,8 +136,22 @@ class NativeAssembler:
 
     def assemble_records(self, blob: bytes, offsets: np.ndarray,
                          lengths: np.ndarray,
-                         target_size: Optional[int] = None) -> Batch:
-        n = len(offsets)
+                         target_size: Optional[int] = None,
+                         with_headers: bool = True) -> Batch:
+        return self.assemble_segments([(blob, offsets, lengths)],
+                                      target_size, with_headers)
+
+    def assemble_segments(self, segments, target_size: Optional[int] = None,
+                          with_headers: bool = True) -> Batch:
+        """Assemble one batch from [(blob, offsets, lengths), ...].
+
+        Each segment parses directly into its row range of the
+        preallocated output arrays (the C parser fills rows 0..k-1 of the
+        buffers it is handed, so row-sliced numpy views address any
+        offset) — no staging copy when a batch spans TFRecord files.
+        ``with_headers=False`` skips materializing per-row Python bytes
+        (training never reads them; eval/test do)."""
+        n = sum(len(o) for _, o, _ in segments)
         b = target_size or n
         s = self.schema
         a: dict[str, np.ndarray] = {
@@ -149,6 +163,8 @@ class NativeAssembler:
             "em_page": np.zeros((b,), np.int32),
         }
         a["valid"][:n] = 1.0
+        # the C parser's header stride is the ctx's HEADER_CAP — the buffer
+        # must be allocated at that width even when headers are unused
         header_buf = np.zeros((b, HEADER_CAP), np.uint8)
         header_len = np.zeros((b,), np.int32)
         feat_ids, feat_wts, feat_len = [], [], []
@@ -161,25 +177,31 @@ class NativeAssembler:
             feat_len.append(a[f.name + LEN])
 
         nf = len(s.id_features)
-        ids_arr = (ctypes.POINTER(ctypes.c_int32) * nf)(
-            *[_ptr(x, ctypes.c_int32) for x in feat_ids])
-        wts_arr = (ctypes.POINTER(ctypes.c_float) * nf)(
-            *[_ptr(x, ctypes.c_float) for x in feat_wts])
-        len_arr = (ctypes.POINTER(ctypes.c_int32) * nf)(
-            *[_ptr(x, ctypes.c_int32) for x in feat_len])
-        offsets = np.ascontiguousarray(offsets, np.int64)
-        lengths = np.ascontiguousarray(lengths, np.int64)
-        self._lib.dmt_parse_batch(
-            self._ctx, blob, _ptr(offsets, ctypes.c_int64),
-            _ptr(lengths, ctypes.c_int64), n,
-            _ptr(a["features"], ctypes.c_float),
-            _ptr(a["label"], ctypes.c_float),
-            _ptr(a["mask"], ctypes.c_float),
-            _ptr(header_buf, ctypes.c_uint8),
-            _ptr(header_len, ctypes.c_int32),
-            _ptr(a["em_position"], ctypes.c_int32),
-            _ptr(a["em_page"], ctypes.c_int32),
-            ids_arr, wts_arr, len_arr)
+        row = 0
+        for blob, offsets, lengths in segments:
+            k = len(offsets)
+            if k == 0:
+                continue
+            ids_arr = (ctypes.POINTER(ctypes.c_int32) * nf)(
+                *[_ptr(x[row:], ctypes.c_int32) for x in feat_ids])
+            wts_arr = (ctypes.POINTER(ctypes.c_float) * nf)(
+                *[_ptr(x[row:], ctypes.c_float) for x in feat_wts])
+            len_arr = (ctypes.POINTER(ctypes.c_int32) * nf)(
+                *[_ptr(x[row:], ctypes.c_int32) for x in feat_len])
+            offsets = np.ascontiguousarray(offsets, np.int64)
+            lengths = np.ascontiguousarray(lengths, np.int64)
+            self._lib.dmt_parse_batch(
+                self._ctx, blob, _ptr(offsets, ctypes.c_int64),
+                _ptr(lengths, ctypes.c_int64), k,
+                _ptr(a["features"][row:], ctypes.c_float),
+                _ptr(a["label"][row:], ctypes.c_float),
+                _ptr(a["mask"][row:], ctypes.c_float),
+                _ptr(header_buf[row:], ctypes.c_uint8),
+                _ptr(header_len[row:], ctypes.c_int32),
+                _ptr(a["em_position"][row:], ctypes.c_int32),
+                _ptr(a["em_page"][row:], ctypes.c_int32),
+                ids_arr, wts_arr, len_arr)
+            row += k
 
         p, w, w_pos, w_mul = self.propensity.weights(
             a["em_position"], a["em_page"], a["label"])
@@ -187,8 +209,12 @@ class NativeAssembler:
         a["propensity_weight"] = w
         a["propensity_weight_positive"] = w_pos
         a["propensity_weight_mul"] = w_mul
-        headers = [bytes(header_buf[i, :header_len[i]]) for i in range(n)]
-        headers.extend(b"" for _ in range(b - n))
+        if with_headers:
+            headers = [bytes(header_buf[i, :header_len[i]])
+                       for i in range(n)]
+            headers.extend(b"" for _ in range(b - n))
+        else:
+            headers = [b""] * b
         return Batch(a, headers)
 
 
@@ -219,6 +245,7 @@ def native_batch_stream(
     shard_index: int = 0,
     assembler: Optional[NativeAssembler] = None,
     seed: Optional[int] = None,
+    with_headers: bool = True,
 ) -> Iterator[Batch]:
     """Fast batch stream: native framing scan + parallel native parse.
 
@@ -241,35 +268,25 @@ def native_batch_stream(
             del pending[:batch_size]
             if len(take) < batch_size and drop_remainder:
                 return
-            # group by blob for contiguous parse calls
-            by_blob: dict[int, list[int]] = {}
+            # group consecutive records of the same blob into segments;
+            # each segment parses straight into its row range (no staging
+            # copy when a batch spans TFRecord files)
+            segs: list[tuple[bytes, np.ndarray, np.ndarray]] = []
+            run_bi, run_ris = take[0][0], []
             for bi, ri in take:
-                by_blob.setdefault(bi, []).append(ri)
-            if len(by_blob) == 1:
-                bi = next(iter(by_blob))
-                blob, offs, lens = pend_blobs[bi]
-                idx = np.asarray(by_blob[bi], np.int64)
-                yield assembler.assemble_records(
-                    blob, offs[idx], lens[idx],
-                    batch_size if (pad_remainder and len(take) < batch_size)
-                    else None)
-            else:
-                # concatenate the needed records into one staging blob
-                parts, offs_out, lens_out = [], [], []
-                pos = 0
-                for bi, ri in take:
-                    blob, offs, lens = pend_blobs[bi]
-                    o, ln = int(offs[ri]), int(lens[ri])
-                    parts.append(blob[o:o + ln])
-                    offs_out.append(pos)
-                    lens_out.append(ln)
-                    pos += ln
-                yield assembler.assemble_records(
-                    b"".join(parts),
-                    np.asarray(offs_out, np.int64),
-                    np.asarray(lens_out, np.int64),
-                    batch_size if (pad_remainder and len(take) < batch_size)
-                    else None)
+                if bi != run_bi:
+                    blob, offs, lens = pend_blobs[run_bi]
+                    idx = np.asarray(run_ris, np.int64)
+                    segs.append((blob, offs[idx], lens[idx]))
+                    run_bi, run_ris = bi, []
+                run_ris.append(ri)
+            blob, offs, lens = pend_blobs[run_bi]
+            idx = np.asarray(run_ris, np.int64)
+            segs.append((blob, offs[idx], lens[idx]))
+            yield assembler.assemble_segments(
+                segs,
+                batch_size if (pad_remainder and len(take) < batch_size)
+                else None, with_headers=with_headers)
 
     from concurrent.futures import ThreadPoolExecutor
     readahead = ThreadPoolExecutor(max_workers=2)

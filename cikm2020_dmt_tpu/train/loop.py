@@ -44,6 +44,7 @@ def make_input_stream(cfg, path_spec, batch_size, **kw):
         return native_batch_stream(cfg, path_spec, batch_size, **kw)
     except Exception as e:  # g++ missing / build failure
         log_line(f"native data path unavailable ({e!r}); python fallback")
+        kw.pop("with_headers", None)  # native-only knob
         return batch_stream(cfg, path_spec, batch_size, **kw)
 
 
@@ -221,7 +222,8 @@ class Trainer:
             data_iter = prefetch(make_input_stream(
                 cfg, data_path, cfg.batch_size, epochs=cfg.epoch_num,
                 shuffle=True, num_shards=jax.process_count(),
-                shard_index=jax.process_index()))
+                shard_index=jax.process_index(),
+                with_headers=False))  # train never reads row headers
 
         step_fn = self._train_step()
         metrics = task_metrics_init()

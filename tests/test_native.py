@@ -51,6 +51,27 @@ class TestNativeParity:
             np.testing.assert_array_equal(
                 pb["clk_seq_ts_7d_50__ids"], nb["clk_seq_ts_7d_50__ids"])
 
+    def test_cross_file_segments_and_headers(self):
+        """Batches spanning TFRecord files parse by segment directly into
+        the output rows; headers must still match the python path, and
+        with_headers=False must leave everything else identical."""
+        cfg = make_demo_config()
+        py = list(batch_stream(cfg, DEMO_DATA, 96, epochs=1,
+                               drop_remainder=False))
+        nat = list(native_batch_stream(cfg, DEMO_DATA, 96, epochs=1,
+                                       drop_remainder=False))
+        nohdr = list(native_batch_stream(cfg, DEMO_DATA, 96, epochs=1,
+                                         drop_remainder=False,
+                                         with_headers=False))
+        assert len(py) == len(nat) == len(nohdr)
+        for pb, nb, hb in zip(py, nat, nohdr):
+            assert pb.headers == nb.headers
+            assert all(h == b"" for h in hb.headers)
+            for key in ("features", "label", "propensity_weight",
+                        "clk_seq_sku_7d_50__ids"):
+                np.testing.assert_array_equal(pb[key], nb[key], err_msg=key)
+                np.testing.assert_array_equal(pb[key], hb[key], err_msg=key)
+
     def test_shuffled_epoch_is_permutation(self):
         cfg = make_demo_config()
         plain = list(native_batch_stream(cfg, DEMO_DATA, 64, epochs=1,
