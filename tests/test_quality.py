@@ -64,3 +64,26 @@ class TestLearningSignal:
         # train->checkpoint->restore->eval loop moves AUC)
         assert trained_vals["click_auc"] > init_vals["click_auc"] + 0.05, (
             init_vals, trained_vals)
+
+
+class TestSummaryPlot:
+    """cli.plot renders the JSONL summaries (the TensorBoard-role utility,
+    reference run_dnn.py:243-256) to PNG + CSV."""
+
+    def test_plot_writes_png_and_csv(self, tmp_path):
+        import json
+        from cikm2020_dmt_tpu.cli.plot import main
+        sd = tmp_path / "summary"
+        sd.mkdir()
+        with open(sd / "train.jsonl", "w") as f:
+            for s in (10, 20, 30):
+                f.write(json.dumps({"step": s, "time": "t",
+                                    "loss": 1.0 / s, "auc": s / 40}) + "\n")
+        with open(sd / "validation.jsonl", "w") as f:
+            f.write(json.dumps({"step": 30, "time": "t", "loss": 0.05}) + "\n")
+        main(["--summary_dir", str(sd)])
+        assert (sd / "summary.png").stat().st_size > 10_000
+        csv_text = (sd / "summary.csv").read_text()
+        assert csv_text.splitlines()[0] == "run,step,time,loss,auc"
+        assert any(line.startswith("validation,30") for line
+                   in csv_text.splitlines())
