@@ -197,6 +197,26 @@ def _position_encode(params: Params, tc: TransformerConfig, seq: jnp.ndarray,
     return seq
 
 
+def _use_fused_block(params: Params, tc: TransformerConfig) -> bool:
+    """The whole-block Pallas kernel (ops/block.py) replaces the per-op jnp
+    path for the production 1-enc/1-dec shape.  Auto-on on TPU; force with
+    DMT_FUSED_BLOCK=1 (interpret off-TPU) or off with DMT_FUSED_BLOCK=0.
+    In-kernel hardware-PRNG dropout replaces the host threefry streams — a
+    documented randomness-stream deviation (same tf-dropout semantics)."""
+    import os
+    flag = os.environ.get("DMT_FUSED_BLOCK", "")
+    if flag == "0":
+        return False
+    if len(params["enc"]) != 1 or len(params["dec"]) != 1:
+        return False
+    if flag == "1":
+        return True
+    # multi-device: GSPMD has no partitioning rule for the Mosaic custom
+    # call, so auto-on is single-chip only until the op carries a
+    # custom_partitioning (batch-dim) rule; force with DMT_FUSED_BLOCK=1
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
 def encode_decode(params: Params, tc: TransformerConfig, *,
                   seq_emb: jnp.ndarray,      # [B, Tk, d_model]
                   seq_mask: jnp.ndarray,     # [B, Tk] 1=present
@@ -207,6 +227,19 @@ def encode_decode(params: Params, tc: TransformerConfig, *,
     """Full encode->decode for one behavior sequence; returns the user
     interest state [B, d_model] (reference TransformerModel.py:51-59)."""
     scale = math.sqrt(tc.d_model)
+    if _use_fused_block(params, tc):
+        from ..ops.block import fused_encode_decode
+        enc0 = _position_encode(params, tc, seq_emb * scale, ts_emb)
+        dec0 = tar_emb * scale
+        if tc.is_decoder_add_pos_emb:
+            table = jnp.asarray(sincos_table(tc.maxlen_q, tc.d_model),
+                                dec0.dtype)
+            dec0 = dec0 + table[0][None, :]
+        return fused_encode_decode(
+            params["enc"][0], params["dec"][0], enc_in=enc0, dec_in=dec0,
+            seq_mask=seq_mask, num_heads=tc.num_heads,
+            dropout=tc.dropout_rate, train=train, rng=rng,
+            interpret=jax.default_backend() != "tpu")
     n_rng = 2 + len(params["enc"]) + len(params["dec"])
     keys = list(jax.random.split(rng, n_rng)) if rng is not None else [None] * n_rng
 
