@@ -49,7 +49,7 @@ def main() -> None:
     batch = trainer.device_batch(g._as_batch(g.synthetic_batch(cfg, BATCH)))
 
     metrics = task_metrics_init()
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.key(0, impl="rbg")  # same impl as Trainer.train
     for i in range(WARMUP):
         tstate, metrics, loss = step_fn(tstate, metrics, batch,
                                         jax.random.fold_in(rng, i))

@@ -274,6 +274,11 @@ class DMTConfig:
     # presence masks on device (valid when every id weight is 1.0, which
     # holds for the whole DMT feature set — halves host->device bytes)
     unit_weights: bool = False
+    # concat all batch fields into one f32 + one i32 [b, F] buffer on the
+    # host and slice them back inside the jitted step: 2 host->device
+    # transfer setups per batch instead of ~40 (per-transfer overhead is
+    # the measured e2e bottleneck on tunneled/driver-heavy links)
+    packed_transfer: bool = True
     # dedup embedding gradients before the scatter-add for tables with at
     # least dedup_rows_threshold rows (TPU scatter is 0.13us/row serialized;
     # ranking traffic is Zipfian — 19.7x sku duplication measured on demo

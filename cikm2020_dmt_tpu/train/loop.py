@@ -87,6 +87,7 @@ class Trainer:
         self.loss_fn = make_loss_fn(cfg, self.model)
         self.ckpt = CheckpointManager(cfg.model_path)
         self._compiled = None
+        self._pack_layout = None
 
     # ------------------------------------------------------------------
     def init_state(self, rng: Optional[jax.Array] = None) -> dict:
@@ -141,8 +142,12 @@ class Trainer:
         optimizer = self.optimizer
         cfg = self.cfg
         loss_fn = self.loss_fn
+        trainer = self
 
         def step_fn(tstate, metrics, batch, rng):
+            if any(k.startswith("__packed_") for k in batch):
+                batch = Trainer.unpack_device_batch(batch,
+                                                    trainer._pack_layout)
             (loss, (out, mstate)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(
                     tstate["params"], tstate["model_state"], batch, rng)
@@ -165,13 +170,61 @@ class Trainer:
         return self._compiled
 
     def device_batch(self, batch: Batch) -> dict:
+        """Host batch -> device arrays.
+
+        Packed mode (cfg.packed_transfer, default on): the ~40 per-field
+        arrays concatenate into ONE [b, F] f32 and ONE [b, I] i32 buffer so
+        the host->device path pays 2 transfer setups instead of ~40 (the
+        measured e2e bottleneck on links with per-transfer overhead); the
+        jitted step slices the fields back out, which XLA fuses into the
+        consumers.  Axis-1 concat keeps dim 0 = batch, so the data-axis
+        sharding applies unchanged."""
         sh = batch_sharding(self.mesh)
         arrays = batch.arrays
         if self.cfg.unit_weights:
             # weights reconstruct on device from lens (components.feature_wts)
             arrays = {k: v for k, v in arrays.items()
                       if not k.endswith("__wts")}
-        return {k: jax.device_put(v, sh) for k, v in arrays.items()}
+        if not self.cfg.packed_transfer:
+            return {k: jax.device_put(v, sh) for k, v in arrays.items()}
+
+        layout: dict[str, list] = {"f32": [], "i32": []}
+        bufs: dict[str, list] = {"f32": [], "i32": []}
+        out: dict = {}
+        b = None
+        for k in sorted(arrays):
+            v = arrays[k]
+            kind = {np.dtype(np.float32): "f32",
+                    np.dtype(np.int32): "i32"}.get(v.dtype)
+            if kind is None or v.ndim > 2 or (b not in (None, v.shape[0])):
+                out[k] = jax.device_put(v, sh)  # odd field: ship as-is
+                continue
+            b = v.shape[0]
+            cols = 1 if v.ndim == 1 else v.shape[1]
+            off = sum(c for _, _, c, _ in layout[kind])
+            layout[kind].append((k, off, cols, v.ndim))
+            bufs[kind].append(v.reshape(b, cols))
+        for kind in ("f32", "i32"):
+            if bufs[kind]:
+                out["__packed_" + kind] = jax.device_put(
+                    np.concatenate(bufs[kind], axis=1), sh)
+        if self._pack_layout is None:
+            self._pack_layout = layout
+        else:
+            assert self._pack_layout == layout, "batch schema changed"
+        return out
+
+    @staticmethod
+    def unpack_device_batch(batch: dict, layout) -> dict:
+        """Inverse of the packed device_batch, traced inside the step."""
+        out = {k: v for k, v in batch.items()
+               if not k.startswith("__packed_")}
+        for kind, fields in layout.items():
+            buf = batch.get("__packed_" + kind)
+            for k, off, cols, ndim in fields:
+                x = jax.lax.slice_in_dim(buf, off, off + cols, axis=1)
+                out[k] = x[:, 0] if ndim == 1 else x
+        return out
 
     def device_prefetch(self, data_iter: Iterator[Batch],
                         depth: int = 2) -> Iterator[tuple[Batch, dict]]:
@@ -230,7 +283,11 @@ class Trainer:
         meter = Throughput()
         summary = (SummaryWriter(cfg.summary_path, "train")
                    if cfg.summary_path else None)
-        rng = jax.random.PRNGKey(cfg.seed + 1)
+        # rbg PRNG for the per-step dropout stream: the XLA RngBitGenerator
+        # lowers to the TPU hardware RNG instead of in-graph threefry
+        # hashing (measured 87.5 -> 79.8 ms/step at batch 4096, v5e);
+        # dropout only needs iid bernoulli, not threefry's stream contract
+        rng = jax.random.key(cfg.seed + 1, impl="rbg")
         profile_dir = profile_dir or os.environ.get("DMT_PROFILE_DIR")
         step = start_step
         eps = 0.0
