@@ -301,6 +301,12 @@ class DMTConfig:
     pack_rows_threshold: int = 500_000
     mesh_data: int = 0   # 0 = auto: all devices not used by the model axis
     mesh_model: int = 1
+    # host input pipeline: concurrent batch assemblers (the C++ parse
+    # releases the GIL, so worker THREADS overlap one batch's parse with
+    # the next one's numpy allocation + segment bookkeeping) and the
+    # TFRecord scan cache budget for multi-epoch runs over small datasets
+    data_workers: int = 2
+    data_cache_bytes: int = 1 << 29
 
     # -------------------------------------------------------------------
     # Derived paths (reference recsys_conf.py:106-110)

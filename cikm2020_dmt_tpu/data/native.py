@@ -246,50 +246,122 @@ def native_batch_stream(
     assembler: Optional[NativeAssembler] = None,
     seed: Optional[int] = None,
     with_headers: bool = True,
+    num_workers: Optional[int] = None,
+    cache_bytes: Optional[int] = None,
 ) -> Iterator[Batch]:
     """Fast batch stream: native framing scan + parallel native parse.
 
     Shuffling operates on record indices within a sliding window of whole
     files (record-level, like the reference's shuffle buffer) and on file
     order per epoch.
+
+    Throughput engineering (the per-record Python tuple bookkeeping of the
+    v1 stream HALVED the parser's 88k ex/s to 44k on the demo):
+    - record bookkeeping is vectorized numpy ([bi], [ri] arrays; batch
+      extraction slices + run-splits them with array ops, no per-record
+      Python objects);
+    - ``num_workers`` assembler threads (cfg.data_workers) pipeline whole
+      batches: dmt_parse_batch drops the GIL, so one batch's C++ parse
+      overlaps the next one's numpy allocation + propensity math.  Batches
+      are submitted and yielded FIFO, so the stream stays deterministic
+      for any worker count;
+    - a bounded scan cache (cfg.data_cache_bytes LRU) keeps whole-file
+      framing scans resident across epochs — multi-epoch runs over
+      datasets that fit the budget skip both the file re-read and the
+      re-scan.
     """
     assembler = assembler or NativeAssembler(cfg)
     files = shard_files(expand_files(path_spec), num_shards, shard_index)
     if not files:
         raise FileNotFoundError(f"no input files match {path_spec!r}")
     rng = random.Random(cfg.seed if seed is None else seed)
+    if num_workers is None:
+        num_workers = max(1, getattr(cfg, "data_workers", 2))
+    if cache_bytes is None:
+        cache_bytes = getattr(cfg, "data_cache_bytes", 0)
 
-    pend_blobs: list[tuple[bytes, np.ndarray, np.ndarray]] = []
-    pending: list[tuple[int, int]] = []  # (blob_idx, record_idx)
-
-    def flush(final: bool) -> Iterator[Batch]:
-        while len(pending) >= batch_size or (final and pending):
-            take = pending[:batch_size]
-            del pending[:batch_size]
-            if len(take) < batch_size and drop_remainder:
-                return
-            # group consecutive records of the same blob into segments;
-            # each segment parses straight into its row range (no staging
-            # copy when a batch spans TFRecord files)
-            segs: list[tuple[bytes, np.ndarray, np.ndarray]] = []
-            run_bi, run_ris = take[0][0], []
-            for bi, ri in take:
-                if bi != run_bi:
-                    blob, offs, lens = pend_blobs[run_bi]
-                    idx = np.asarray(run_ris, np.int64)
-                    segs.append((blob, offs[idx], lens[idx]))
-                    run_bi, run_ris = bi, []
-                run_ris.append(ri)
-            blob, offs, lens = pend_blobs[run_bi]
-            idx = np.asarray(run_ris, np.int64)
-            segs.append((blob, offs[idx], lens[idx]))
-            yield assembler.assemble_segments(
-                segs,
-                batch_size if (pad_remainder and len(take) < batch_size)
-                else None, with_headers=with_headers)
-
+    import collections
+    import threading
     from concurrent.futures import ThreadPoolExecutor
-    readahead = ThreadPoolExecutor(max_workers=2)
+
+    # ---- bounded LRU of (blob, offs, lens) keyed by path ----
+    cache: "collections.OrderedDict[str, tuple]" = collections.OrderedDict()
+    cache_lock = threading.Lock()
+    cache_total = 0
+
+    def get_file(path: str):
+        nonlocal cache_total
+        with cache_lock:
+            ent = cache.get(path)
+            if ent is not None:
+                cache.move_to_end(path)
+                return ent
+        ent = scan_file(path)
+        if cache_bytes > 0:
+            with cache_lock:
+                if path not in cache:
+                    cache[path] = ent
+                    cache_total += len(ent[0])
+                    while cache_total > cache_bytes and len(cache) > 1:
+                        _, old = cache.popitem(last=False)
+                        cache_total -= len(old[0])
+        return ent
+
+    # ---- vectorized pending-record state ----
+    blob_reg: dict[int, tuple] = {}
+    next_bi = 0
+    pend_bi = np.empty(0, np.int64)
+    pend_ri = np.empty(0, np.int64)
+
+    def split_segments(tb: np.ndarray, tr: np.ndarray):
+        """Consecutive same-blob runs -> [(blob, offs, lens), ...]."""
+        cuts = np.flatnonzero(np.diff(tb)) + 1
+        lo_hi = zip(np.concatenate([[0], cuts]),
+                    np.concatenate([cuts, [len(tb)]]))
+        segs = []
+        for lo, hi in lo_hi:
+            blob, offs, lens = blob_reg[int(tb[lo])]
+            idx = tr[lo:hi]
+            segs.append((blob, offs[idx], lens[idx]))
+        return segs
+
+    def take_batches(flush_partial: bool):
+        """Pop (segs, target_size) work items off the pending arrays."""
+        nonlocal pend_bi, pend_ri
+        while (len(pend_bi) >= batch_size
+               or (flush_partial and len(pend_bi))):
+            n = min(batch_size, len(pend_bi))
+            tb, tr = pend_bi[:n].copy(), pend_ri[:n].copy()
+            pend_bi = pend_bi[n:].copy()
+            pend_ri = pend_ri[n:].copy()
+            target = (batch_size
+                      if (pad_remainder and n < batch_size) else None)
+            yield split_segments(tb, tr), target
+        if not len(pend_bi):
+            # all submitted work holds direct refs to its blobs; registry
+            # entries are only needed for still-pending records
+            blob_reg.clear()
+
+    # ---- FIFO assembler pool (order-preserving => deterministic) ----
+    pool = (ThreadPoolExecutor(max_workers=num_workers)
+            if num_workers > 1 else None)
+    inflight: collections.deque = collections.deque()
+
+    def emit(final: bool) -> Iterator[Batch]:
+        """final = end of stream: flush the partial batch (unless
+        drop_remainder) AND drain every in-flight future."""
+        for segs, target in take_batches(final and not drop_remainder):
+            if pool is None:
+                yield assembler.assemble_segments(segs, target,
+                                                  with_headers)
+                continue
+            inflight.append(pool.submit(
+                assembler.assemble_segments, segs, target, with_headers))
+            while len(inflight) > num_workers:
+                yield inflight.popleft().result()
+        if final:
+            while inflight:
+                yield inflight.popleft().result()
 
     def epoch_files():
         epoch_iter = range(epochs) if epochs >= 0 else iter(int, 1)
@@ -299,33 +371,40 @@ def native_batch_stream(
                 rng.shuffle(order)
             yield from order
 
-    # pipeline file reads 2 deep so IO overlaps parse
-    file_iter = epoch_files()
-    futures = []
-    for path in file_iter:
-        futures.append(readahead.submit(scan_file, path))
-        if len(futures) >= 2:
-            break
-    while futures:
-        blob, offs, lens = futures.pop(0).result()
-        nxt = next(file_iter, None)
-        if nxt is not None:
-            futures.append(readahead.submit(scan_file, nxt))
-        if True:
-            bi = len(pend_blobs)
-            pend_blobs.append((blob, offs, lens))
-            recs = [(bi, ri) for ri in range(len(offs))]
-            if shuffle:
-                pending.extend(recs)
-                # re-shuffle the tail window so records mix across the
-                # last two files (list-slice shuffle must be written back)
-                window = min(len(pending), len(recs) * 2)
-                tail = pending[-window:]
-                rng.shuffle(tail)
-                pending[-window:] = tail
-            else:
-                pending.extend(recs)
-            yield from flush(final=False)
-            if not pending:
-                pend_blobs.clear()
-    yield from flush(final=not drop_remainder)
+    try:
+        # pipeline file reads 2 deep so IO overlaps parse
+        readahead = ThreadPoolExecutor(max_workers=1)
+        file_iter = epoch_files()
+        futures = []
+        for path in file_iter:
+            futures.append(readahead.submit(get_file, path))
+            if len(futures) >= 2:
+                break
+        while futures:
+            blob, offs, lens = futures.pop(0).result()
+            nxt = next(file_iter, None)
+            if nxt is not None:
+                futures.append(readahead.submit(get_file, nxt))
+            bi = next_bi
+            next_bi += 1
+            blob_reg[bi] = (blob, offs, lens)
+            k = len(offs)
+            pend_bi = np.concatenate(
+                [pend_bi, np.full(k, bi, np.int64)])
+            pend_ri = np.concatenate(
+                [pend_ri, np.arange(k, dtype=np.int64)])
+            if shuffle and k:
+                # permute the tail window so records mix across the last
+                # two files (record-level shuffle buffer, like the
+                # reference's dataset.shuffle)
+                w = min(len(pend_bi), 2 * k)
+                perm = np.random.default_rng(
+                    rng.getrandbits(63)).permutation(w)
+                pend_bi[-w:] = pend_bi[-w:][perm]
+                pend_ri[-w:] = pend_ri[-w:][perm]
+            yield from emit(final=False)
+        yield from emit(final=True)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
+        readahead.shutdown(wait=False, cancel_futures=True)

@@ -83,6 +83,21 @@ class TestNativeParity:
         assert len(a) == len(b)
         np.testing.assert_array_equal(np.sort(a), np.sort(b))
 
+    def test_drop_remainder_keeps_all_full_batches(self):
+        """Regression: the worker-pool stream must drain in-flight batches
+        at end of stream even when drop_remainder drops the partial one
+        (v2 bug: the last num_workers full batches were silently lost)."""
+        cfg = make_demo_config()
+        per_epoch = sum(b["valid"].sum() for b in native_batch_stream(
+            cfg, DEMO_DATA, 4096, epochs=1, drop_remainder=False))
+        total = int(per_epoch) * 5
+        for workers in (1, 3):
+            got = list(native_batch_stream(cfg, DEMO_DATA, 64, epochs=5,
+                                           drop_remainder=True,
+                                           num_workers=workers))
+            assert len(got) == total // 64
+            assert all(b.size == 64 for b in got)
+
     def test_throughput_exceeds_python(self):
         import time
         cfg = make_demo_config()
