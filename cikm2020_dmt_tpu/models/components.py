@@ -227,7 +227,8 @@ def sequence_interest(params: Params, emb: Params, batch: dict,
             tar_in = tar_emb
         state = encode_decode(
             p, tc, seq_emb=seq_emb, seq_mask=mask, tar_emb=tar_in,
-            ts_emb=ts_emb, train=train, rng=keys[gi])
+            ts_emb=ts_emb, train=train, rng=keys[gi],
+            mesh=getattr(engine, "mesh", None))
         # trans_core output composition (reference *_transformer*.py)
         if tc.is_trans_out_concat_item:
             state = jnp.concatenate([state, tar_in], axis=-1)

@@ -197,7 +197,7 @@ def _position_encode(params: Params, tc: TransformerConfig, seq: jnp.ndarray,
     return seq
 
 
-def _use_fused_block(params: Params, tc: TransformerConfig) -> bool:
+def _use_fused_block(params: Params, tc: TransformerConfig, mesh) -> bool:
     """The whole-block Pallas kernel (ops/block.py) replaces the per-op jnp
     path for the production 1-enc/1-dec shape.  Auto-on on TPU; force with
     DMT_FUSED_BLOCK=1 (interpret off-TPU) or off with DMT_FUSED_BLOCK=0.
@@ -211,10 +211,12 @@ def _use_fused_block(params: Params, tc: TransformerConfig) -> bool:
         return False
     if flag == "1":
         return True
-    # multi-device: GSPMD has no partitioning rule for the Mosaic custom
-    # call, so auto-on is single-chip only until the op carries a
-    # custom_partitioning (batch-dim) rule; force with DMT_FUSED_BLOCK=1
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    # multi-device needs the mesh: GSPMD has no partitioning rule for the
+    # Mosaic custom call, so the op runs under shard_map (batch over the
+    # data axis) — see ops/block.fused_encode_decode
+    if jax.default_backend() != "tpu":
+        return False
+    return jax.device_count() == 1 or mesh is not None
 
 
 def encode_decode(params: Params, tc: TransformerConfig, *,
@@ -223,11 +225,12 @@ def encode_decode(params: Params, tc: TransformerConfig, *,
                   tar_emb: jnp.ndarray,      # [B, d_model]
                   ts_emb: Optional[jnp.ndarray] = None,  # [B, Tk, ts_dim]
                   train: bool = False,
-                  rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                  rng: Optional[jax.Array] = None,
+                  mesh=None) -> jnp.ndarray:
     """Full encode->decode for one behavior sequence; returns the user
     interest state [B, d_model] (reference TransformerModel.py:51-59)."""
     scale = math.sqrt(tc.d_model)
-    if _use_fused_block(params, tc):
+    if _use_fused_block(params, tc, mesh):
         from ..ops.block import fused_encode_decode
         enc0 = _position_encode(params, tc, seq_emb * scale, ts_emb)
         dec0 = tar_emb * scale
@@ -235,11 +238,20 @@ def encode_decode(params: Params, tc: TransformerConfig, *,
             table = jnp.asarray(sincos_table(tc.maxlen_q, tc.d_model),
                                 dec0.dtype)
             dec0 = dec0 + table[0][None, :]
+        interpret = jax.default_backend() != "tpu"
+        if interpret and train and tc.dropout_rate > 0 and rng is not None:
+            # plain HLO interpret can't lower the TPU PRNG primitives;
+            # the Mosaic interpreter can (its prng_random_bits is all
+            # zeros off-TPU, i.e. dropout keeps everything — fine for
+            # compile/CI validation, exact on real TPUs)
+            from jax.experimental.pallas import tpu as pltpu
+            interpret = pltpu.InterpretParams()
         return fused_encode_decode(
             params["enc"][0], params["dec"][0], enc_in=enc0, dec_in=dec0,
             seq_mask=seq_mask, num_heads=tc.num_heads,
             dropout=tc.dropout_rate, train=train, rng=rng,
-            interpret=jax.default_backend() != "tpu")
+            interpret=interpret,
+            mesh=mesh if jax.device_count() > 1 else None)
     n_rng = 2 + len(params["enc"]) + len(params["dec"])
     keys = list(jax.random.split(rng, n_rng)) if rng is not None else [None] * n_rng
 

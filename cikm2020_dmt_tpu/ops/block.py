@@ -14,21 +14,33 @@ Why one kernel: round-1 measurement showed an attention-only kernel wins
 standalone but LOSES in the full graph (pad copies at the kernel boundary +
 broken XLA fusion).  Fusing the whole block keeps the [B, T, D] encoder
 state and every intermediate in VMEM — nothing but enc_in/dec_in/out and
-the weights cross HBM — and the kernel takes UNPADDED logical shapes
-(Mosaic masks the lane padding internally), so there are no boundary pad
-copies at all.
+the weights cross HBM.
+
+Kernel shape discipline (v2 — the v1 per-example design measured 73 ms/step
+SLOWER than XLA at batch 4096 because every projection ran as a [50, 80]
+f32 matmul):
+- the sequence dim pads to a sublane multiple (50 -> 56) OUTSIDE the
+  kernel so [nb, Tp, D] <-> [nb*Tp, D] reshapes are tile-aligned no-ops;
+- Q/K/V projections and the FF run ONCE per grid program over all
+  ``block`` examples ([nb*Tp, D] operands — MXU-shaped), not per example;
+- only the O(T^2) attention core loops per example (and per head, with
+  lane-masked head extraction); per-example rows come out of the [N, D]
+  activations via sublane-aligned dynamic_slice, never relayout reshapes;
+- every dot takes operands in the input compute dtype (bf16 in production)
+  and accumulates f32 (preferred_element_type); LN / softmax / dropout
+  arithmetic stays f32.
 
 Dropout runs in-kernel on the TPU hardware PRNG (pltpu.prng_*), re-seeded
-per (site, example) so the recompute backward regenerates bit-identical
-masks.  This replaces the host threefry path (~18 ms/step at batch 4096 in
-round-1 traces) — a documented randomness-stream deviation; the reference
-semantics (tf dropout: keep w.p. 1-rate, scale by 1/(1-rate)) are
-preserved.
+per (site, program/example) so the recompute backward regenerates
+bit-identical masks.  This replaces the host threefry path (~18 ms/step at
+batch 4096 in round-1 traces) — a documented randomness-stream deviation;
+the reference semantics (tf dropout: keep w.p. 1-rate, scale by
+1/(1-rate)) are preserved.
 
 Backward is full-recompute (flash-style): the custom VJP saves only the
-kernel inputs; the backward kernel replays the forward per example and
-chains the gradients, accumulating weight gradients in VMEM scratch across
-the (forced-sequential) grid and writing them once on the last program.
+kernel inputs; the backward kernel replays the forward and chains the
+gradients, accumulating weight grads in VMEM scratch across the
+(forced-sequential) grid and writing them once on the last program.
 """
 
 from __future__ import annotations
@@ -64,11 +76,11 @@ def _uniform01(shape):
 
 
 def _drop_mask(shape, rate: float, seed_ref, salt, site: int):
-    """The scaled tf-semantics keep-mask for one (example, site).
+    """The scaled tf-semantics keep-mask for one (salt, site).
 
-    Mosaic's prng_set_seed takes at most 2 words, so (salt=example, site)
-    fold into one int32: site ids stay < 64 (max is SITE_DEC_PROBS*16 +
-    head 7 = 55) and salt*64 fits comfortably in 31 bits at any batch."""
+    Mosaic's prng_set_seed takes at most 2 words, so (salt, site) fold
+    into one int32: site ids stay < 64 (max is SITE_DEC_PROBS*16 + head
+    7 = 55) and salt*64 fits comfortably in 31 bits at any batch."""
     from jax.experimental.pallas import tpu as pltpu
     keep_prob = 1.0 - rate
     pltpu.prng_seed(seed_ref[0], salt * 64 + site)
@@ -80,13 +92,13 @@ def _ln(x, gamma, beta):
     """Reference ln (TransformerModel_util.py:58-78), f32 statistics."""
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
-    xhat = (x - mean) * jax.lax.rsqrt(var + LN_EPS)
-    return gamma * xhat + beta, xhat, jax.lax.rsqrt(var + LN_EPS)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (x - mean) * inv
+    return gamma * xhat + beta, xhat, inv
 
 
 def _ln_bwd(g, xhat, inv, gamma):
     """dL/dx for y = gamma*xhat + beta; also returns (dgamma, dbeta)."""
-    d = xhat.shape[-1]
     gg = g * gamma
     dx = (gg - jnp.mean(gg, axis=-1, keepdims=True)
           - xhat * jnp.mean(gg * xhat, axis=-1, keepdims=True)) * inv
@@ -101,54 +113,24 @@ def _head_mask(num_heads: int, d: int, dtype=jnp.float32):
     return ((lane // dh) == head).astype(dtype)
 
 
-def _mha(x_q, x_kv, km, qm, wqkv, bqkv, hm, *, num_heads, scale, rate,
-         seed_ref, salt, site, train):
-    """Projection + masked MHA with optional probs dropout.
-
-    x_q [Tq, D], x_kv [Tk, D], km [1, Tk], qm [Tq, 1] or None.
-    Returns (ctx [Tq, D]).  All f32.
-    """
-    D = x_q.shape[-1]
-    q = jnp.dot(x_q, wqkv[:, 0 * D:1 * D],
-                preferred_element_type=jnp.float32) + bqkv[0:1, :]
-    k = jnp.dot(x_kv, wqkv[:, 1 * D:2 * D],
-                preferred_element_type=jnp.float32) + bqkv[1:2, :]
-    v = jnp.dot(x_kv, wqkv[:, 2 * D:3 * D],
-                preferred_element_type=jnp.float32) + bqkv[2:3, :]
-    ctx = jnp.zeros_like(q)
-    H = hm.shape[0]
-    for h in range(H):
-        mh = hm[h][None, :]
-        s = jax.lax.dot_general(q * mh, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = jnp.where(km > 0, s, NEG_INF)
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        if qm is not None:
-            p = p * qm
-        if train and rate > 0.0:
-            p = p * _drop_mask(p.shape, rate, seed_ref, salt,
-                               site * 16 + h)
-        ctx = ctx + jnp.dot(p, v * mh, preferred_element_type=jnp.float32)
-    return ctx
+def _dot(a, b, cd):
+    """a @ b with operands in compute dtype ``cd``, f32 accumulation."""
+    return jnp.dot(a.astype(cd), b.astype(cd),
+                   preferred_element_type=jnp.float32)
 
 
-def _block_fwd(x_q, x_kv, km, qm, W, pre, hm, *, num_heads, scale, rate,
-               seed_ref, salt, site, train):
-    """One transformer block: MHA -> +res -> LN -> FF -> +res -> LN."""
-    ctx = _mha(x_q, x_kv, km, qm, W[pre + "wqkv"], W[pre + "bqkv"], hm,
-               num_heads=num_heads, scale=scale, rate=rate,
-               seed_ref=seed_ref, salt=salt, site=site, train=train)
-    a1 = ctx + x_q
-    h1, _, _ = _ln(a1, W[pre + "ln1g"], W[pre + "ln1b"])
-    f = jnp.maximum(jnp.dot(h1, W[pre + "w1"],
-                            preferred_element_type=jnp.float32)
-                    + W[pre + "b1"], 0.0)
-    f2 = jnp.dot(f, W[pre + "w2"],
-                 preferred_element_type=jnp.float32) + W[pre + "b2"]
-    h2, _, _ = _ln(f2 + h1, W[pre + "ln2g"], W[pre + "ln2b"])
-    return h2
+def _dot_t(a, b, cd):
+    """a^T @ b (contract dim 0 of both), f32 accumulation."""
+    return jax.lax.dot_general(a.astype(cd), b.astype(cd),
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_nt(a, b, cd):
+    """a @ b^T (contract dim 1 of both), f32 accumulation."""
+    return jax.lax.dot_general(a.astype(cd), b.astype(cd),
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 def _weights_dict(vecs, wqkv, w1, b1, w2, pre):
@@ -167,203 +149,197 @@ def _weights_dict(vecs, wqkv, w1, b1, w2, pre):
     }
 
 
-def _make_fwd_kernel(num_heads, scale, rate, train, block, Tk, D):
+def _load_weights(e_wqkv, e_vecs, e_w1, e_b1, e_w2,
+                  d_wqkv, d_vecs, d_w1, d_b1, d_w2):
+    W = {}
+    W.update(_weights_dict(e_vecs[:].astype(jnp.float32),
+                           e_wqkv[:].astype(jnp.float32),
+                           e_w1[:].astype(jnp.float32),
+                           e_b1[:].astype(jnp.float32),
+                           e_w2[:].astype(jnp.float32), "e_"))
+    W.update(_weights_dict(d_vecs[:].astype(jnp.float32),
+                           d_wqkv[:].astype(jnp.float32),
+                           d_w1[:].astype(jnp.float32),
+                           d_b1[:].astype(jnp.float32),
+                           d_w2[:].astype(jnp.float32), "d_"))
+    return W
+
+
+# ---------------------------------------------------------------------------
+# Attention core: per example, per head (tiny O(T^2) dots); everything
+# around it is batched over the program block.
+# ---------------------------------------------------------------------------
+
+
+def _bdot(a, b, dims, cd):
+    """Batched dot_general (batch dim 0) in compute dtype, f32 accum."""
+    return jax.lax.dot_general(a.astype(cd), b.astype(cd),
+                               (dims, ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+
+
+def _attend3(Q, K, V, kmr, kmc, hm, *, scale, cd, rate, seed_ref, salt,
+             site, train):
+    """Batched masked MHA over the whole program block.
+
+    Q/K/V [nb, Tp, D]; kmr [nb, 1, Tp] (key mask), kmc [nb, Tp, 1] (query
+    mask) or None.  One batched [nb, Tq, Tk] matmul pair per head — no
+    per-example loop.  Returns ctx [nb, Tp, D] (f32)."""
+    ctx = jnp.zeros(Q.shape, jnp.float32)
+    H = hm.shape[0]
+    for h in range(H):
+        mh = hm[h][None, None, :]
+        s = _bdot(Q * mh, K, ((2,), (2,)), cd) * scale     # [nb, Tq, Tk]
+        s = jnp.where(kmr > 0, s, NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        if kmc is not None:
+            p = p * kmc
+        if train and rate > 0.0:
+            p = p * _drop_mask(p.shape, rate, seed_ref, salt,
+                               site * 16 + h)
+        ctx = ctx + _bdot(p, V * mh, ((2,), (1,)), cd)
+    return ctx
+
+
+def _attend3_bwd(g_ctx, Q, K, V, kmr, kmc, hm, *, scale, cd, rate, seed_ref,
+                 salt, site, train):
+    """Backward of _attend3 wrt Q, K, V; all batched [nb, ., .] dots.
+
+    Recomputes each head's softmax probs from Q/K/V (which stay live for
+    the weight-grad dots anyway) and REGENERATES its dropout mask from the
+    deterministic in-kernel PRNG — storing H x [nb, Tq, Tk] probs + masks
+    from the replay measured 18.5M scoped VMEM at nb=16 (over the 16M
+    limit); recompute keeps one head's temporaries live at a time."""
+    dQ = jnp.zeros(Q.shape, jnp.float32)
+    dK = jnp.zeros(K.shape, jnp.float32)
+    dV = jnp.zeros(V.shape, jnp.float32)
+    H = hm.shape[0]
+    for h in range(H):
+        mh = hm[h][None, None, :]
+        s = _bdot(Q * mh, K, ((2,), (2,)), cd) * scale
+        s = jnp.where(kmr > 0, s, NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p0 = e / jnp.sum(e, axis=-1, keepdims=True)
+        dm = (_drop_mask(p0.shape, rate, seed_ref, salt, site * 16 + h)
+              if train and rate > 0.0 else None)
+        pq = p0 * kmc if kmc is not None else p0
+        pd = pq * dm if dm is not None else pq
+        dV = dV + _bdot(pd, g_ctx, ((1,), (1,)), cd) * mh  # [nb, Tk, D]
+        dpd = _bdot(g_ctx, V * mh, ((2,), (2,)), cd)       # [nb, Tq, Tk]
+        dpq = dpd * dm if dm is not None else dpd
+        dp0 = dpq * kmc if kmc is not None else dpq
+        ds = p0 * (dp0 - jnp.sum(dp0 * p0, axis=-1, keepdims=True))
+        dQ = dQ + _bdot(ds, K, ((2,), (1,)), cd) * scale * mh
+        dK = dK + _bdot(ds, Q * mh, ((1,), (1,)), cd) * scale
+    return dQ, dK, dV
+
+
+# ---------------------------------------------------------------------------
+# Batched sub-blocks (LN + FF over [N, D] for the whole program block)
+# ---------------------------------------------------------------------------
+
+
+def _ffln(x_res, ctx, W, pre, cd):
+    """+res -> LN -> FF(relu) -> +res -> LN, batched over rows.
+    Returns (h2, residuals-for-backward).  fpre is NOT kept: relu's mask
+    recovers from f > 0 (relu'(0) = 0 either way)."""
+    a1 = ctx + x_res
+    h1, xhat1, inv1 = _ln(a1, W[pre + "ln1g"], W[pre + "ln1b"])
+    f = jnp.maximum(_dot(h1, W[pre + "w1"], cd) + W[pre + "b1"], 0.0)
+    f2 = _dot(f, W[pre + "w2"], cd) + W[pre + "b2"]
+    h2, xhat2, inv2 = _ln(f2 + h1, W[pre + "ln2g"], W[pre + "ln2b"])
+    return h2, (h1, xhat1, inv1, f, xhat2, inv2)
+
+
+def _ffln_bwd(g, res, W, pre, acc, cd):
+    """Backward of _ffln; returns d(a1) (caller feeds it to both the ctx
+    and the residual-input paths); accumulates weight grads into ``acc``."""
+    h1, xhat1, inv1, f, xhat2, inv2 = res
+    dln2_in, dg2, db2v = _ln_bwd(g, xhat2, inv2, W[pre + "ln2g"])
+    acc[pre + "ln2g"] += dg2
+    acc[pre + "ln2b"] += db2v
+    df = _dot_nt(dln2_in, W[pre + "w2"], cd)
+    acc[pre + "w2"] += _dot_t(f, dln2_in, cd)
+    acc[pre + "b2"] += jnp.sum(dln2_in, axis=0)
+    dfpre = df * (f > 0.0)
+    dh1 = dln2_in + _dot_nt(dfpre, W[pre + "w1"], cd)
+    acc[pre + "w1"] += _dot_t(h1, dfpre, cd)
+    acc[pre + "b1"] += jnp.sum(dfpre, axis=0)
+    da1, dg1, db1v = _ln_bwd(dh1, xhat1, inv1, W[pre + "ln1g"])
+    acc[pre + "ln1g"] += dg1
+    acc[pre + "ln1b"] += db1v
+    return da1
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_fwd_kernel(num_heads, scale, rate, train, block, Tp, D, cd):
     from jax.experimental import pallas as pl
 
-    def kernel(seed_ref, enc_ref, dec_ref, km_ref,
+    def kernel(seed_ref, enc_ref, dec_ref, kmr_ref, kmc_ref,
                e_wqkv, e_vecs, e_w1, e_b1, e_w2,
                d_wqkv, d_vecs, d_w1, d_b1, d_w2, out_ref):
         hm = _head_mask(num_heads, D)
-        W = {}
-        W.update(_weights_dict(e_vecs[:].astype(jnp.float32),
-                               e_wqkv[:].astype(jnp.float32),
-                               e_w1[:].astype(jnp.float32),
-                               e_b1[:].astype(jnp.float32),
-                               e_w2[:].astype(jnp.float32), "e_"))
-        W.update(_weights_dict(d_vecs[:].astype(jnp.float32),
-                               d_wqkv[:].astype(jnp.float32),
-                               d_w1[:].astype(jnp.float32),
-                               d_b1[:].astype(jnp.float32),
-                               d_w2[:].astype(jnp.float32), "d_"))
-        base = pl.program_id(0) * block
+        W = _load_weights(e_wqkv, e_vecs, e_w1, e_b1, e_w2,
+                          d_wqkv, d_vecs, d_w1, d_b1, d_w2)
+        pid = pl.program_id(0)
+        N = block * Tp
 
-        def one(i, _):
-            salt = base + i
-            e0 = enc_ref[i].astype(jnp.float32)          # [Tk, D]
-            d0 = dec_ref[i].astype(jnp.float32)          # [1, D]
-            km = km_ref[i]                               # [1, Tk]
-            if train and rate > 0.0:
-                e0 = e0 * _drop_mask(e0.shape, rate, seed_ref, salt,
-                                     SITE_ENC_IN)
-                d0 = d0 * _drop_mask(d0.shape, rate, seed_ref, salt,
-                                     SITE_DEC_IN)
-            qm_enc = km.reshape(-1, 1)                   # [Tk, 1]
-            enc = _block_fwd(e0, e0, km, qm_enc, W, "e_", hm,
-                             num_heads=num_heads, scale=scale, rate=rate,
-                             seed_ref=seed_ref, salt=salt,
-                             site=SITE_ENC_PROBS, train=train)
-            dec = _block_fwd(d0, enc, km, None, W, "d_", hm,
-                             num_heads=num_heads, scale=scale, rate=rate,
-                             seed_ref=seed_ref, salt=salt,
-                             site=SITE_DEC_PROBS, train=train)
-            out_ref[i] = dec.astype(out_ref.dtype)       # [1, D]
-            return 0
+        E0 = enc_ref[...].astype(jnp.float32).reshape(N, D)
+        D0 = dec_ref[...].astype(jnp.float32)               # [block, D]
+        kmr = kmr_ref[...]                                   # [nb, 1, Tp]
+        kmc = kmc_ref[...]                                   # [nb, Tp, 1]
+        if train and rate > 0.0:
+            E0 = E0 * _drop_mask((N, D), rate, seed_ref, pid, SITE_ENC_IN)
+            D0 = D0 * _drop_mask((block, D), rate, seed_ref, pid,
+                                 SITE_DEC_IN)
 
-        jax.lax.fori_loop(0, block, one, 0)
+        # ---- encoder: batched projections + batched masked MHA ----
+        wq, wk, wv = (W["e_wqkv"][:, 0 * D:1 * D], W["e_wqkv"][:, 1 * D:2 * D],
+                      W["e_wqkv"][:, 2 * D:3 * D])
+        Q = (_dot(E0, wq, cd) + W["e_bqkv"][0:1]).reshape(block, Tp, D)
+        K = (_dot(E0, wk, cd) + W["e_bqkv"][1:2]).reshape(block, Tp, D)
+        V = (_dot(E0, wv, cd) + W["e_bqkv"][2:3]).reshape(block, Tp, D)
+        ctx = _attend3(Q, K, V, kmr, kmc, hm, scale=scale, cd=cd, rate=rate,
+                       seed_ref=seed_ref, salt=pid, site=SITE_ENC_PROBS,
+                       train=train)
+        H2, _ = _ffln(E0, ctx.reshape(N, D), W, "e_", cd)
+
+        # ---- decoder: 1-query cross attention over the encoder state ----
+        dwq, dwk, dwv = (W["d_wqkv"][:, 0 * D:1 * D],
+                         W["d_wqkv"][:, 1 * D:2 * D],
+                         W["d_wqkv"][:, 2 * D:3 * D])
+        Qd = (_dot(D0, dwq, cd) + W["d_bqkv"][0:1]).reshape(block, 1, D)
+        Kd = (_dot(H2, dwk, cd) + W["d_bqkv"][1:2]).reshape(block, Tp, D)
+        Vd = (_dot(H2, dwv, cd) + W["d_bqkv"][2:3]).reshape(block, Tp, D)
+        ctx_d = _attend3(Qd, Kd, Vd, kmr, None, hm, scale=scale, cd=cd,
+                         rate=rate, seed_ref=seed_ref, salt=pid,
+                         site=SITE_DEC_PROBS, train=train)
+        out, _ = _ffln(D0, ctx_d.reshape(block, D), W, "d_", cd)
+        out_ref[...] = out.astype(out_ref.dtype)
 
     return kernel
 
 
 # ---------------------------------------------------------------------------
-# Backward: full recompute + manual chain rule.
+# Backward kernel: full recompute + manual chain rule.
 # ---------------------------------------------------------------------------
-
-
-def _mha_fwd_res(x_q, x_kv, km, qm, wqkv, bqkv, hm, *, num_heads, scale,
-                 rate, seed_ref, salt, site, train):
-    """Forward replay that also returns residuals needed by the backward:
-    q, k, v and per-head (p_postdrop, p_presm-mask info recomputed later)."""
-    D = x_q.shape[-1]
-    q = jnp.dot(x_q, wqkv[:, 0 * D:1 * D],
-                preferred_element_type=jnp.float32) + bqkv[0:1, :]
-    k = jnp.dot(x_kv, wqkv[:, 1 * D:2 * D],
-                preferred_element_type=jnp.float32) + bqkv[1:2, :]
-    v = jnp.dot(x_kv, wqkv[:, 2 * D:3 * D],
-                preferred_element_type=jnp.float32) + bqkv[2:3, :]
-    ctx = jnp.zeros_like(q)
-    probs = []
-    dmasks = []
-    H = hm.shape[0]
-    for h in range(H):
-        mh = hm[h][None, :]
-        s = jax.lax.dot_general(q * mh, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = jnp.where(km > 0, s, NEG_INF)
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p0 = e / jnp.sum(e, axis=-1, keepdims=True)      # pre query-mask
-        p = p0 * qm if qm is not None else p0
-        if train and rate > 0.0:
-            dm = _drop_mask(p.shape, rate, seed_ref, salt, site * 16 + h)
-        else:
-            dm = None
-        pd = p * dm if dm is not None else p
-        ctx = ctx + jnp.dot(pd, v * mh, preferred_element_type=jnp.float32)
-        probs.append(p0)
-        dmasks.append(dm)
-    return ctx, (q, k, v, probs, dmasks)
-
-
-def _mha_bwd(g_ctx, res, x_q, x_kv, km, qm, wqkv, bqkv, hm, *, num_heads,
-             scale):
-    """Returns (dx_q, dx_kv, dwqkv, dbqkv)."""
-    D = x_q.shape[-1]
-    q, k, v, probs, dmasks = res
-    dq = jnp.zeros_like(q)
-    dk = jnp.zeros_like(k)
-    dv = jnp.zeros_like(v)
-    H = hm.shape[0]
-    for h in range(H):
-        mh = hm[h][None, :]
-        p0 = probs[h]
-        dm = dmasks[h]
-        pq = p0 * qm if qm is not None else p0
-        pd = pq * dm if dm is not None else pq
-        # dv: pd^T @ g_ctx, head lanes only
-        dv = dv + jax.lax.dot_general(
-            pd, g_ctx, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * mh
-        dpd = jax.lax.dot_general(g_ctx, v * mh, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        dpq = dpd * dm if dm is not None else dpd
-        dp0 = dpq * qm if qm is not None else dpq
-        ds = p0 * (dp0 - jnp.sum(dp0 * p0, axis=-1, keepdims=True))
-        dq = dq + jnp.dot(ds, k, preferred_element_type=jnp.float32) \
-            * scale * mh
-        dk = dk + jax.lax.dot_general(
-            ds, q * mh, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-    # back through the projections
-    dwq = jax.lax.dot_general(x_q, dq, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dwk = jax.lax.dot_general(x_kv, dk, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dwv = jax.lax.dot_general(x_kv, dv, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dwqkv = jnp.concatenate([dwq, dwk, dwv], axis=1)     # [D, 3D]
-    dbqkv = jnp.stack([jnp.sum(dq, axis=0), jnp.sum(dk, axis=0),
-                       jnp.sum(dv, axis=0)], axis=0)      # [3, D]
-    dx_q = jnp.dot(dq, wqkv[:, 0 * D:1 * D].T,
-                   preferred_element_type=jnp.float32)
-    dx_kv = (jnp.dot(dk, wqkv[:, 1 * D:2 * D].T,
-                     preferred_element_type=jnp.float32)
-             + jnp.dot(dv, wqkv[:, 2 * D:3 * D].T,
-                       preferred_element_type=jnp.float32))
-    return dx_q, dx_kv, dwqkv, dbqkv
-
-
-def _block_fwd_res(x_q, x_kv, km, qm, W, pre, hm, *, num_heads, scale,
-                   rate, seed_ref, salt, site, train):
-    ctx, mres = _mha_fwd_res(x_q, x_kv, km, qm, W[pre + "wqkv"],
-                             W[pre + "bqkv"], hm, num_heads=num_heads,
-                             scale=scale, rate=rate, seed_ref=seed_ref,
-                             salt=salt, site=site, train=train)
-    a1 = ctx + x_q
-    h1, xhat1, inv1 = _ln(a1, W[pre + "ln1g"], W[pre + "ln1b"])
-    fpre = jnp.dot(h1, W[pre + "w1"],
-                   preferred_element_type=jnp.float32) + W[pre + "b1"]
-    f = jnp.maximum(fpre, 0.0)
-    f2 = jnp.dot(f, W[pre + "w2"],
-                 preferred_element_type=jnp.float32) + W[pre + "b2"]
-    h2, xhat2, inv2 = _ln(f2 + h1, W[pre + "ln2g"], W[pre + "ln2b"])
-    return h2, (mres, h1, xhat1, inv1, f, fpre, xhat2, inv2)
-
-
-def _block_bwd(g, res, x_q, x_kv, km, qm, W, pre, hm, acc, *, num_heads,
-               scale):
-    """Backward through one block.  Returns (dx_q, dx_kv); accumulates
-    weight grads into the dict of accumulators ``acc``."""
-    mres, h1, xhat1, inv1, f, fpre, xhat2, inv2 = res
-    # LN2
-    dln2_in, dg2, db2v = _ln_bwd(g, xhat2, inv2, W[pre + "ln2g"])
-    acc[pre + "ln2g"] += dg2
-    acc[pre + "ln2b"] += db2v
-    # f2 = f@w2 + b2 ; ln2 input = f2 + h1
-    df = jnp.dot(dln2_in, W[pre + "w2"].T,
-                 preferred_element_type=jnp.float32)
-    acc[pre + "w2"] += jax.lax.dot_general(
-        f, dln2_in, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    acc[pre + "b2"] += jnp.sum(dln2_in, axis=0)
-    dfpre = df * (fpre > 0.0)
-    dh1 = dln2_in + jnp.dot(dfpre, W[pre + "w1"].T,
-                            preferred_element_type=jnp.float32)
-    acc[pre + "w1"] += jax.lax.dot_general(
-        h1, dfpre, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    acc[pre + "b1"] += jnp.sum(dfpre, axis=0)
-    # LN1
-    da1, dg1, db1v = _ln_bwd(dh1, xhat1, inv1, W[pre + "ln1g"])
-    acc[pre + "ln1g"] += dg1
-    acc[pre + "ln1b"] += db1v
-    # a1 = ctx + x_q
-    dxq_mha, dxkv, dwqkv, dbqkv = _mha_bwd(
-        da1, mres, x_q, x_kv, km, qm, W[pre + "wqkv"], W[pre + "bqkv"], hm,
-        num_heads=num_heads, scale=scale)
-    acc[pre + "wqkv"] += dwqkv
-    acc[pre + "bqkv"] += dbqkv
-    return dxq_mha + da1, dxkv
-
 
 _W_KEYS = ("wqkv", "bqkv", "ln1g", "ln1b", "ln2g", "ln2b", "b2", "w1",
            "b1", "w2")
 
 
-def _make_bwd_kernel(num_heads, scale, rate, train, block, Tk, D, F,
-                     n_programs):
+def _make_bwd_kernel(num_heads, scale, rate, train, block, Tp, D, F,
+                     n_programs, cd):
     from jax.experimental import pallas as pl
 
-    def kernel(seed_ref, enc_ref, dec_ref, km_ref,
+    def kernel(seed_ref, enc_ref, dec_ref, kmr_ref, kmc_ref,
                e_wqkv, e_vecs, e_w1, e_b1, e_w2,
                d_wqkv, d_vecs, d_w1, d_b1, d_w2, g_ref,
                denc_ref, ddec_ref,
@@ -372,96 +348,115 @@ def _make_bwd_kernel(num_heads, scale, rate, train, block, Tk, D, F,
                a_e_wqkv, a_e_vecs, a_e_w1, a_e_b1, a_e_w2,
                a_d_wqkv, a_d_vecs, a_d_w1, a_d_b1, a_d_w2):
         hm = _head_mask(num_heads, D)
-        W = {}
-        W.update(_weights_dict(e_vecs[:].astype(jnp.float32),
-                               e_wqkv[:].astype(jnp.float32),
-                               e_w1[:].astype(jnp.float32),
-                               e_b1[:].astype(jnp.float32),
-                               e_w2[:].astype(jnp.float32), "e_"))
-        W.update(_weights_dict(d_vecs[:].astype(jnp.float32),
-                               d_wqkv[:].astype(jnp.float32),
-                               d_w1[:].astype(jnp.float32),
-                               d_b1[:].astype(jnp.float32),
-                               d_w2[:].astype(jnp.float32), "d_"))
+        W = _load_weights(e_wqkv, e_vecs, e_w1, e_b1, e_w2,
+                          d_wqkv, d_vecs, d_w1, d_b1, d_w2)
         pid = pl.program_id(0)
-        base = pid * block
+        N = block * Tp
 
-        # zero the VMEM weight-grad accumulators on the first program
         @pl.when(pid == 0)
         def _():
             for ref in (a_e_wqkv, a_e_vecs, a_e_w1, a_e_b1, a_e_w2,
                         a_d_wqkv, a_d_vecs, a_d_w1, a_d_b1, a_d_w2):
                 ref[:] = jnp.zeros_like(ref)
 
-        def one(i, carry):
-            (ae_wqkv, ae_vecs, ae_w1, ae_b1, ae_w2,
-             ad_wqkv, ad_vecs, ad_w1, ad_b1, ad_w2) = carry
-            salt = base + i
-            e_in = enc_ref[i].astype(jnp.float32)
-            d_in = dec_ref[i].astype(jnp.float32)
-            km = km_ref[i]
-            g = g_ref[i].astype(jnp.float32)             # [1, D]
-            if train and rate > 0.0:
-                dm_e = _drop_mask(e_in.shape, rate, seed_ref, salt,
-                                  SITE_ENC_IN)
-                dm_d = _drop_mask(d_in.shape, rate, seed_ref, salt,
-                                  SITE_DEC_IN)
-                e0 = e_in * dm_e
-                d0 = d_in * dm_d
-            else:
-                dm_e = dm_d = None
-                e0, d0 = e_in, d_in
-            qm_enc = km.reshape(-1, 1)
-            # replay forward with residuals
-            enc, eres = _block_fwd_res(
-                e0, e0, km, qm_enc, W, "e_", hm, num_heads=num_heads,
-                scale=scale, rate=rate, seed_ref=seed_ref, salt=salt,
-                site=SITE_ENC_PROBS, train=train)
-            dec, dres = _block_fwd_res(
-                d0, enc, km, None, W, "d_", hm, num_heads=num_heads,
-                scale=scale, rate=rate, seed_ref=seed_ref, salt=salt,
-                site=SITE_DEC_PROBS, train=train)
+        E_in = enc_ref[...].astype(jnp.float32).reshape(N, D)
+        D_in = dec_ref[...].astype(jnp.float32)             # [block, D]
+        kmr = kmr_ref[...]
+        kmc = kmc_ref[...]
+        if train and rate > 0.0:
+            dm_e = _drop_mask((N, D), rate, seed_ref, pid, SITE_ENC_IN)
+            dm_d = _drop_mask((block, D), rate, seed_ref, pid, SITE_DEC_IN)
+            E0 = E_in * dm_e
+            D0 = D_in * dm_d
+        else:
+            dm_e = dm_d = None
+            E0, D0 = E_in, D_in
+        G = g_ref[...].astype(jnp.float32)                  # [block, D]
 
-            acc = {}
-            for pre in ("e_", "d_"):
-                for kk in _W_KEYS:
-                    acc[pre + kk] = 0.0
-            dd0, denc = _block_bwd(g, dres, d0, enc, km, None, W, "d_",
-                                   hm, acc, num_heads=num_heads,
-                                   scale=scale)
-            de_q, de_kv = _block_bwd(denc, eres, e0, e0, km, qm_enc, W,
-                                     "e_", hm, acc, num_heads=num_heads,
-                                     scale=scale)
-            de0 = de_q + de_kv
-            if dm_e is not None:
-                de0 = de0 * dm_e
-                dd0 = dd0 * dm_d
-            denc_ref[i] = de0.astype(denc_ref.dtype)
-            ddec_ref[i] = dd0.astype(ddec_ref.dtype)
+        # ---- replay forward (batched) ----
+        wq, wk, wv = (W["e_wqkv"][:, 0 * D:1 * D], W["e_wqkv"][:, 1 * D:2 * D],
+                      W["e_wqkv"][:, 2 * D:3 * D])
+        Q = (_dot(E0, wq, cd) + W["e_bqkv"][0:1]).reshape(block, Tp, D)
+        K = (_dot(E0, wk, cd) + W["e_bqkv"][1:2]).reshape(block, Tp, D)
+        V = (_dot(E0, wv, cd) + W["e_bqkv"][2:3]).reshape(block, Tp, D)
+        ctx_e = _attend3(Q, K, V, kmr, kmc, hm, scale=scale, cd=cd,
+                         rate=rate, seed_ref=seed_ref, salt=pid,
+                         site=SITE_ENC_PROBS, train=train)
+        H2, eres = _ffln(E0, ctx_e.reshape(N, D), W, "e_", cd)
 
-            def vecs_of(pre):
-                return jnp.concatenate([
-                    acc[pre + "bqkv"],
-                    acc[pre + "ln1g"][None, :], acc[pre + "ln1b"][None, :],
-                    acc[pre + "ln2g"][None, :], acc[pre + "ln2b"][None, :],
-                    acc[pre + "b2"][None, :]], axis=0)     # [8, D]
+        dwq, dwk, dwv = (W["d_wqkv"][:, 0 * D:1 * D],
+                         W["d_wqkv"][:, 1 * D:2 * D],
+                         W["d_wqkv"][:, 2 * D:3 * D])
+        Qd = (_dot(D0, dwq, cd) + W["d_bqkv"][0:1]).reshape(block, 1, D)
+        Kd = (_dot(H2, dwk, cd) + W["d_bqkv"][1:2]).reshape(block, Tp, D)
+        Vd = (_dot(H2, dwv, cd) + W["d_bqkv"][2:3]).reshape(block, Tp, D)
+        ctx_d = _attend3(Qd, Kd, Vd, kmr, None, hm, scale=scale, cd=cd,
+                         rate=rate, seed_ref=seed_ref, salt=pid,
+                         site=SITE_DEC_PROBS, train=train)
+        _, dres = _ffln(D0, ctx_d.reshape(block, D), W, "d_", cd)
 
-            return (ae_wqkv + acc["e_wqkv"], ae_vecs + vecs_of("e_"),
-                    ae_w1 + acc["e_w1"], ae_b1 + acc["e_b1"][None, :],
-                    ae_w2 + acc["e_w2"],
-                    ad_wqkv + acc["d_wqkv"], ad_vecs + vecs_of("d_"),
-                    ad_w1 + acc["d_w1"], ad_b1 + acc["d_b1"][None, :],
-                    ad_w2 + acc["d_w2"])
+        acc = {}
+        for pre in ("e_", "d_"):
+            for kk in _W_KEYS:
+                acc[pre + kk] = 0.0
 
-        zero = (jnp.zeros((D, 3 * D), jnp.float32),
-                jnp.zeros((8, D), jnp.float32),
-                jnp.zeros((D, F), jnp.float32),
-                jnp.zeros((1, F), jnp.float32),
-                jnp.zeros((F, D), jnp.float32))
-        out = jax.lax.fori_loop(0, block, one, zero + zero)
+        # ---- decoder backward ----
+        da1_d = _ffln_bwd(G, dres, W, "d_", acc, cd)        # d(ctx_d + D0)
+        dD0 = da1_d
+        dQd3, dKd3, dVd3 = _attend3_bwd(
+            da1_d.reshape(block, 1, D), Qd, Kd, Vd, kmr, None, hm,
+            scale=scale, cd=cd, rate=rate, seed_ref=seed_ref, salt=pid,
+            site=SITE_DEC_PROBS, train=train)
+        dQd = dQd3.reshape(block, D)
+        dKd = dKd3.reshape(N, D)
+        dVd = dVd3.reshape(N, D)
+        acc["d_wqkv"] += jnp.concatenate(
+            [_dot_t(D0, dQd, cd), _dot_t(H2, dKd, cd), _dot_t(H2, dVd, cd)],
+            axis=1)
+        acc["d_bqkv"] += jnp.stack(
+            [jnp.sum(dQd, axis=0), jnp.sum(dKd, axis=0),
+             jnp.sum(dVd, axis=0)], axis=0)
+        dD0 = dD0 + _dot_nt(dQd, dwq, cd)
+        dH2 = _dot_nt(dKd, dwk, cd) + _dot_nt(dVd, dwv, cd)
+
+        # ---- encoder backward ----
+        da1_e = _ffln_bwd(dH2, eres, W, "e_", acc, cd)      # d(ctx_e + E0)
+        dQ3, dK3, dV3 = _attend3_bwd(
+            da1_e.reshape(block, Tp, D), Q, K, V, kmr, kmc, hm,
+            scale=scale, cd=cd, rate=rate, seed_ref=seed_ref, salt=pid,
+            site=SITE_ENC_PROBS, train=train)
+        dQ = dQ3.reshape(N, D)
+        dK_ = dK3.reshape(N, D)
+        dV_ = dV3.reshape(N, D)
+        acc["e_wqkv"] += jnp.concatenate(
+            [_dot_t(E0, dQ, cd), _dot_t(E0, dK_, cd), _dot_t(E0, dV_, cd)],
+            axis=1)
+        acc["e_bqkv"] += jnp.stack(
+            [jnp.sum(dQ, axis=0), jnp.sum(dK_, axis=0),
+             jnp.sum(dV_, axis=0)], axis=0)
+        dE0 = (da1_e + _dot_nt(dQ, wq, cd) + _dot_nt(dK_, wk, cd)
+               + _dot_nt(dV_, wv, cd))
+
+        if dm_e is not None:
+            dE0 = dE0 * dm_e
+            dD0 = dD0 * dm_d
+        denc_ref[...] = dE0.reshape(block, Tp, D).astype(denc_ref.dtype)
+        ddec_ref[...] = dD0.astype(ddec_ref.dtype)
+
+        def vecs_of(pre):
+            return jnp.concatenate([
+                acc[pre + "bqkv"],
+                acc[pre + "ln1g"][None, :], acc[pre + "ln1b"][None, :],
+                acc[pre + "ln2g"][None, :], acc[pre + "ln2b"][None, :],
+                acc[pre + "b2"][None, :]], axis=0)           # [8, D]
+
+        updates = (acc["e_wqkv"], vecs_of("e_"), acc["e_w1"],
+                   acc["e_b1"][None, :], acc["e_w2"],
+                   acc["d_wqkv"], vecs_of("d_"), acc["d_w1"],
+                   acc["d_b1"][None, :], acc["d_w2"])
         accs = (a_e_wqkv, a_e_vecs, a_e_w1, a_e_b1, a_e_w2,
                 a_d_wqkv, a_d_vecs, a_d_w1, a_d_b1, a_d_w2)
-        for ref, val in zip(accs, out):
+        for ref, val in zip(accs, updates):
             ref[:] = ref[:] + val
 
         # emit the accumulated weight grads once, on the last program
@@ -532,64 +527,80 @@ def _unpack_weight_grads(gw, like):
     }
 
 
-def _fwd_call(seed, enc_in, dec_in, km, ew, dw, *, num_heads, scale, rate,
-              train, interpret):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+def _compute_dtype(x):
+    return jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
-    B, Tk, D = enc_in.shape
-    nb = _block_size(B)
-    F = ew[2].shape[1]
-    kernel = _make_fwd_kernel(num_heads, scale, rate, train, nb, Tk, D)
-    wspecs = [
+
+def _sds(shape, dtype, like):
+    """ShapeDtypeStruct carrying ``like``'s varying-mesh-axes set, so the
+    pallas_call outputs type-check under shard_map (check_vma=True); a
+    plain struct outside shard_map."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if not vma:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
+def _wspecs(D, F):
+    from jax.experimental import pallas as pl
+    return [
         pl.BlockSpec((D, 3 * D), lambda b: (0, 0)),
         pl.BlockSpec((8, D), lambda b: (0, 0)),
         pl.BlockSpec((D, F), lambda b: (0, 0)),
         pl.BlockSpec((1, F), lambda b: (0, 0)),
         pl.BlockSpec((F, D), lambda b: (0, 0)),
     ]
-    grid = (B // nb,)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),           # seed [1]
-            pl.BlockSpec((nb, Tk, D), lambda b: (b, 0, 0)),
-            pl.BlockSpec((nb, 1, D), lambda b: (b, 0, 0)),
-            pl.BlockSpec((nb, 1, Tk), lambda b: (b, 0, 0)),
-        ] + wspecs + wspecs,
-        out_specs=pl.BlockSpec((nb, 1, D), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, 1, D), enc_in.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(seed, enc_in, dec_in, km, *ew, *dw)
 
 
-def _bwd_call(seed, enc_in, dec_in, km, ew, dw, g, *, num_heads, scale,
+def _fwd_call(seed, enc_in, dec_in, kmr, kmc, ew, dw, *, num_heads, scale,
               rate, train, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B, Tk, D = enc_in.shape
+    B, Tp, D = enc_in.shape
     nb = _block_size(B)
     F = ew[2].shape[1]
+    cd = _compute_dtype(enc_in)
+    kernel = _make_fwd_kernel(num_heads, scale, rate, train, nb, Tp, D, cd)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # seed [1]
+            pl.BlockSpec((nb, Tp, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, D), lambda b: (b, 0)),
+            pl.BlockSpec((nb, 1, Tp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, Tp, 1), lambda b: (b, 0, 0)),
+        ] + _wspecs(D, F) + _wspecs(D, F),
+        out_specs=pl.BlockSpec((nb, D), lambda b: (b, 0)),
+        out_shape=_sds((B, D), enc_in.dtype, enc_in),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(seed, enc_in, dec_in, kmr, kmc, *ew, *dw)
+
+
+def _bwd_call(seed, enc_in, dec_in, kmr, kmc, ew, dw, g, *, num_heads,
+              scale, rate, train, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Tp, D = enc_in.shape
+    nb = _block_size(B)
+    F = ew[2].shape[1]
+    cd = _compute_dtype(enc_in)
     n_programs = B // nb
-    kernel = _make_bwd_kernel(num_heads, scale, rate, train, nb, Tk, D, F,
-                              n_programs)
-    wspecs = [
-        pl.BlockSpec((D, 3 * D), lambda b: (0, 0)),
-        pl.BlockSpec((8, D), lambda b: (0, 0)),
-        pl.BlockSpec((D, F), lambda b: (0, 0)),
-        pl.BlockSpec((1, F), lambda b: (0, 0)),
-        pl.BlockSpec((F, D), lambda b: (0, 0)),
-    ]
+    kernel = _make_bwd_kernel(num_heads, scale, rate, train, nb, Tp, D, F,
+                              n_programs, cd)
+    # weight grads are computed from the (possibly data-sharded) batch, so
+    # under shard_map they vary like the activations; the shard_map
+    # transpose psums them into the replicated-weight cotangent
     wshapes = [
-        jax.ShapeDtypeStruct((D, 3 * D), jnp.float32),
-        jax.ShapeDtypeStruct((8, D), jnp.float32),
-        jax.ShapeDtypeStruct((D, F), jnp.float32),
-        jax.ShapeDtypeStruct((1, F), jnp.float32),
-        jax.ShapeDtypeStruct((F, D), jnp.float32),
+        _sds((D, 3 * D), jnp.float32, enc_in),
+        _sds((8, D), jnp.float32, enc_in),
+        _sds((D, F), jnp.float32, enc_in),
+        _sds((1, F), jnp.float32, enc_in),
+        _sds((F, D), jnp.float32, enc_in),
     ]
     wscratch = [
         pltpu.VMEM((D, 3 * D), jnp.float32),
@@ -603,26 +614,32 @@ def _bwd_call(seed, enc_in, dec_in, km, ew, dw, g, *, num_heads, scale,
         grid=(n_programs,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((nb, Tk, D), lambda b: (b, 0, 0)),
-            pl.BlockSpec((nb, 1, D), lambda b: (b, 0, 0)),
-            pl.BlockSpec((nb, 1, Tk), lambda b: (b, 0, 0)),
-        ] + wspecs + wspecs + [
-            pl.BlockSpec((nb, 1, D), lambda b: (b, 0, 0)),   # g
+            pl.BlockSpec((nb, Tp, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, D), lambda b: (b, 0)),
+            pl.BlockSpec((nb, 1, Tp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, Tp, 1), lambda b: (b, 0, 0)),
+        ] + _wspecs(D, F) + _wspecs(D, F) + [
+            pl.BlockSpec((nb, D), lambda b: (b, 0)),         # g
         ],
         out_specs=[
-            pl.BlockSpec((nb, Tk, D), lambda b: (b, 0, 0)),
-            pl.BlockSpec((nb, 1, D), lambda b: (b, 0, 0)),
-        ] + [pl.BlockSpec(s.shape, lambda b: tuple(0 for _ in s.shape))
-             for s in wshapes] * 2,
+            pl.BlockSpec((nb, Tp, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, D), lambda b: (b, 0)),
+        ] + [pl.BlockSpec(s.shape, lambda b: (0, 0)) for s in wshapes] * 2,
         out_shape=[
-            jax.ShapeDtypeStruct((B, Tk, D), enc_in.dtype),
-            jax.ShapeDtypeStruct((B, 1, D), dec_in.dtype),
+            _sds((B, Tp, D), enc_in.dtype, enc_in),
+            _sds((B, D), dec_in.dtype, dec_in),
         ] + wshapes + wshapes,
         scratch_shapes=wscratch + wscratch,
+        # the fwd-replay + manual chain rule peaks ~19M of scoped VMEM at
+        # nb=16 (Mosaic's conservative liveness across the unrolled
+        # per-head dots); the 16M default limit is a compiler guard, not
+        # the v5e hardware's 128M — raise it rather than shrinking nb
+        # (smaller blocks starve the MXU on the [nb*Tp, D] projections)
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed, enc_in, dec_in, km, *ew, *dw, g)
+    )(seed, enc_in, dec_in, kmr, kmc, *ew, *dw, g)
     denc, ddec = outs[0], outs[1]
     gew = tuple(outs[2:7])
     gdw = tuple(outs[7:12])
@@ -631,27 +648,27 @@ def _bwd_call(seed, enc_in, dec_in, km, ew, dw, g, *, num_heads, scale,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def _fused_block_op(num_heads, scale, rate, train, interpret,
-                    seed, enc_in, dec_in, km, ew, dw):
-    return _fwd_call(seed, enc_in, dec_in, km, ew, dw, num_heads=num_heads,
-                     scale=scale, rate=rate, train=train,
-                     interpret=interpret)
+                    seed, enc_in, dec_in, kmr, kmc, ew, dw):
+    return _fwd_call(seed, enc_in, dec_in, kmr, kmc, ew, dw,
+                     num_heads=num_heads, scale=scale, rate=rate,
+                     train=train, interpret=interpret)
 
 
 def _fused_block_fwd(num_heads, scale, rate, train, interpret,
-                     seed, enc_in, dec_in, km, ew, dw):
+                     seed, enc_in, dec_in, kmr, kmc, ew, dw):
     out = _fused_block_op(num_heads, scale, rate, train, interpret,
-                          seed, enc_in, dec_in, km, ew, dw)
-    return out, (seed, enc_in, dec_in, km, ew, dw)
+                          seed, enc_in, dec_in, kmr, kmc, ew, dw)
+    return out, (seed, enc_in, dec_in, kmr, kmc, ew, dw)
 
 
 def _fused_block_bwd(num_heads, scale, rate, train, interpret, res, g):
-    seed, enc_in, dec_in, km, ew, dw = res
+    seed, enc_in, dec_in, kmr, kmc, ew, dw = res
     denc, ddec, gew, gdw = _bwd_call(
-        seed, enc_in, dec_in, km, ew, dw, g, num_heads=num_heads,
+        seed, enc_in, dec_in, kmr, kmc, ew, dw, g, num_heads=num_heads,
         scale=scale, rate=rate, train=train, interpret=interpret)
     gew = tuple(gg.astype(w.dtype) for gg, w in zip(gew, ew))
     gdw = tuple(gg.astype(w.dtype) for gg, w in zip(gdw, dw))
-    return None, denc, ddec, None, gew, gdw
+    return None, denc, ddec, None, None, gew, gdw
 
 
 _fused_block_op.defvjp(_fused_block_fwd, _fused_block_bwd)
@@ -660,15 +677,32 @@ _fused_block_op.defvjp(_fused_block_fwd, _fused_block_bwd)
 def fused_encode_decode(enc_params, dec_params, *, enc_in, dec_in, seq_mask,
                         num_heads: int, dropout: float, train: bool,
                         rng: Optional[jax.Array] = None,
-                        interpret: bool = False):
+                        interpret: bool = False, mesh=None):
     """Fused single-block encoder+decoder (reference
     TransformerModel.py:84-171).
 
     enc_in [B, Tk, D]: the scaled + position-encoded sequence (PRE input
     dropout — dropout runs in-kernel); dec_in [B, D] likewise for the
     target; seq_mask [B, Tk].  Returns [B, D].
+
+    The sequence dim pads to a multiple of 8 here (zero key-mask on pad
+    positions keeps them out of every output and gradient path, matching
+    the jnp path's masking semantics) so the kernel's [nb, Tp, D] <->
+    [nb*Tp, D] reshapes and per-example row slices are tile-aligned.
+
+    Multi-chip: GSPMD has no partitioning rule for the Mosaic custom
+    call, so when a ``mesh`` is given the op runs under ``shard_map``
+    (batch split over the data axis, weights replicated).  shard_map's AD
+    transpose psums the replicated-weight cotangents over the data axis
+    automatically, and each shard offsets the in-kernel PRNG seed by its
+    data-axis index so dropout masks do not repeat across batch shards.
     """
     B, Tk, D = enc_in.shape
+    Tp = ((Tk + 7) // 8) * 8
+    km = seq_mask.astype(jnp.float32)
+    if Tp != Tk:
+        enc_in = jnp.pad(enc_in, ((0, 0), (0, Tp - Tk), (0, 0)))
+        km = jnp.pad(km, ((0, 0), (0, Tp - Tk)))
     scale = 1.0 / math.sqrt(D // num_heads)
     ew = _pack_weights(enc_params)
     dw = _pack_weights(dec_params)
@@ -678,8 +712,35 @@ def fused_encode_decode(enc_params, dec_params, *, enc_in, dec_in, seq_mask,
     else:
         seed = jnp.zeros((1,), jnp.int32)
         do_train = False
-    km = seq_mask.astype(jnp.float32).reshape(B, 1, Tk)
-    out = _fused_block_op(num_heads, scale, float(dropout), do_train,
-                          interpret, seed, enc_in,
-                          dec_in[:, None, :], km, ew, dw)
-    return out[:, 0, :]
+    # the key mask in both row ([B,1,Tp], masks keys) and column
+    # ([B,Tp,1], zeroes absent-query prob rows) layouts — built here where
+    # the transpose is free, so the kernel does none
+    kmr = km.reshape(B, 1, Tp)
+    kmc = km.reshape(B, Tp, 1)
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import PartitionSpec as P
+        from ..core.mesh import DATA_AXIS
+
+        def local(seed_l, enc_l, dec_l, kmr_l, kmc_l, *w):
+            # decorrelate the hardware-PRNG streams across batch shards
+            # (each shard's grid restarts program_id at 0)
+            seed_l = seed_l + jax.lax.axis_index(DATA_AXIS) * (1 << 20)
+            return _fused_block_op(num_heads, scale, float(dropout),
+                                   do_train, interpret, seed_l, enc_l,
+                                   dec_l, kmr_l, kmc_l, w[:5], w[5:])
+
+        bspec = P(DATA_AXIS)
+        # check_vma=False: the varying-axes checker descends into the
+        # kernel jaxpr, where in-kernel iota/constants are unvarying and
+        # every op on (batch x constant) trips it.  Replicated-weight
+        # gradients stay correct — the transpose of an in_specs=P()
+        # broadcast is structurally a psum over the data axis (asserted
+        # against the single-device path by test_shard_map_multichip).
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), bspec, bspec, bspec, bspec) + (P(),) * 10,
+            out_specs=bspec, check_vma=False,
+        )(seed, enc_in, dec_in, kmr, kmc, *ew, *dw)
+    return _fused_block_op(num_heads, scale, float(dropout), do_train,
+                           interpret, seed, enc_in, dec_in, kmr, kmc,
+                           ew, dw)

@@ -1,0 +1,104 @@
+"""Device-trace decomposition of the flagship train step.
+
+Runs the bench.py step under ``jax.profiler.trace`` and prints per-op
+device time per step, aggregated by HLO op metadata name.  This is the
+tool behind the perf trails in PARITY.md — naive wall-clock micro-timers
+lie on this runtime (async dispatch + DCE), device traces do not.
+
+Usage (real TPU, one process):
+    python scripts/trace_step.py [--steps N] [--out DIR] [--top K]
+Env:  DMT_FUSED_BLOCK / DMT_BENCH_DTYPE work as for bench.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+BATCH = 4096
+
+
+def run_trace(out_dir: str, steps: int) -> float:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import __graft_entry__ as g
+    from cikm2020_dmt_tpu.metrics.streaming import task_metrics_init
+    from cikm2020_dmt_tpu.train.loop import Trainer
+
+    cfg = g._demo_config(sku_rows=5_000_000, batch_size=BATCH,
+                         validate_step=10**9,
+                         compute_dtype=os.environ.get("DMT_BENCH_DTYPE",
+                                                      "bfloat16"))
+    trainer = Trainer(cfg)
+    tstate = trainer.shard_state(trainer.init_state())
+    step_fn = trainer._train_step()
+    batch = trainer.device_batch(g._as_batch(g.synthetic_batch(cfg, BATCH)))
+    metrics = task_metrics_init()
+    rng = jax.random.key(0, impl="rbg")
+    for i in range(3):
+        tstate, metrics, loss = step_fn(tstate, metrics, batch,
+                                        jax.random.fold_in(rng, i))
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    with jax.profiler.trace(out_dir):
+        for i in range(steps):
+            tstate, metrics, loss = step_fn(tstate, metrics, batch,
+                                            jax.random.fold_in(rng, 3 + i))
+        jax.block_until_ready(loss)
+    return (time.perf_counter() - t0) / steps
+
+
+def decompose(out_dir: str, steps: int, top: int) -> None:
+    paths = glob.glob(os.path.join(out_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        print("no trace file found under", out_dir)
+        return
+    with gzip.open(max(paths, key=os.path.getmtime), "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # device-track pids (the TPU op track carries per-fusion durations)
+    device_pids = {e["pid"] for e in events
+                   if e.get("ph") == "M" and e.get("name") == "process_name"
+                   and "TPU" in str(e.get("args", {}).get("name", ""))
+                   and "XLA" not in str(e.get("args", {}).get("name", ""))}
+    per_op = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        dur_ms = e.get("dur", 0) / 1e3 / steps
+        per_op[e.get("name", "?")] += dur_ms
+        total += dur_ms
+    print(f"RESULT total {total:.1f} ms/step (device-op sum)")
+    for name, ms in per_op.most_common(top):
+        print(f"RESULT  {ms:7.2f} ms  {name}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--out", default="/tmp/dmt_trace_step")
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+    wall = run_trace(args.out, args.steps)
+    print(f"RESULT wall {wall * 1000:.1f} ms/step")
+    decompose(args.out, args.steps, args.top)
+
+
+if __name__ == "__main__":
+    main()

@@ -148,6 +148,44 @@ class TestFusedBlock:
         assert np.isfinite(np.asarray(g1)).all()
         np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
 
+    def test_shard_map_multichip(self, rng):
+        """The shard_map wrapper (batch over the data axis, replicated
+        weights): values and every weight/input grad must match the
+        single-device fused path — this is what validates the multi-chip
+        fused-block deployment (weight-grad psum via shard_map AD)."""
+        from jax.sharding import Mesh
+        from cikm2020_dmt_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+        devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+        mesh = Mesh(devs, (DATA_AXIS, MODEL_AXIS))
+        tc = _tc(d_model=16, num_heads=2, d_ff=32, maxlen_k=10)
+        B, T, D = 8, 10, 16
+        seq, tar, mask = _case(rng, B, T, D, [10, 4, 7, 10, 1, 3, 9, 10])
+        params = transformer_init(jax.random.PRNGKey(6), tc)
+        tgt = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+
+        def loss(params, seq, tar, use_mesh):
+            out = fused_encode_decode(
+                params["enc"][0], params["dec"][0], enc_in=seq, dec_in=tar,
+                seq_mask=mask, num_heads=tc.num_heads, dropout=0.0,
+                train=False, interpret=True,
+                mesh=mesh if use_mesh else None)
+            return jnp.sum((out - tgt) ** 2), out
+
+        (l0, o0), g0 = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                          has_aux=True)(
+            params, seq, tar, False)
+        (l1, o1), g1 = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                          has_aux=True)(
+            params, seq, tar, True)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                                   rtol=2e-5, atol=2e-5)
+        for (p, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(g0)[0][0:999],
+                jax.tree_util.tree_flatten_with_path(g1)[0]):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=1e-4,
+                                       err_msg=str(p))
+
     def test_bf16_inputs(self, rng):
         """bf16 activations in/out, f32 math inside."""
         tc = _tc()
