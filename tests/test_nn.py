@@ -233,6 +233,32 @@ class TestStreamingMetrics:
         expect = roc_auc_score(labels, preds)
         assert abs(got - expect) < 0.005  # bucketed estimator tolerance
 
+    def test_auc_histogram_equals_threshold_compare(self, rng):
+        """The O(B log T) histogram update must produce exactly the same
+        counters as the textbook [T, B] per-threshold comparison (the
+        formulation it replaced for speed), including ties at 0/1 and
+        fractional weights."""
+        n = 512
+        labels = (rng.random(n) < 0.3).astype(np.float32)
+        preds = np.clip(rng.random(n) * 1.2 - 0.1, 0, 1).astype(np.float32)
+        preds[:8] = [0.0, 1.0, 0.5, 1 / 199, 2 / 199, 0.999, 1e-8, 0.25]
+        w = rng.random(n).astype(np.float32)
+        got = streaming.auc_update(streaming.auc_init(),
+                                   jnp.asarray(labels), jnp.asarray(preds),
+                                   jnp.asarray(w))
+        th = np.asarray(streaming._thresholds())
+        pos = (labels > 0) * w
+        neg = (labels <= 0) * w
+        above = (preds[None, :] > th[:, None]).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(got["tp"]), above @ pos,
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got["fp"]), above @ neg,
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got["fn"]),
+                                   (1 - above) @ pos, rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got["tn"]),
+                                   (1 - above) @ neg, rtol=1e-5, atol=1e-4)
+
     def test_precision_recall(self):
         labels = jnp.asarray([1, 1, 0, 0, 1], jnp.float32)
         preds = jnp.asarray([1, 0, 1, 0, 1], jnp.float32)
