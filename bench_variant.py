@@ -16,6 +16,10 @@ cfg = g._demo_config(sku_rows=5_000_000, batch_size=BATCH,
                      validate_step=10**9, compute_dtype="bfloat16")
 if "--nopack" in sys.argv:
     cfg = dataclasses.replace(cfg, packed_transfer=False)
+if "--dense" in sys.argv:
+    cfg = dataclasses.replace(cfg, lazy_adam=False)
+if "--noexact" in sys.argv:
+    cfg = dataclasses.replace(cfg, dedup_exact_rows_max=0)
 trainer = Trainer(cfg)
 tstate = trainer.shard_state(trainer.init_state())
 step_fn = trainer._train_step()

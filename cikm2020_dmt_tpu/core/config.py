@@ -287,6 +287,26 @@ class DMTConfig:
     dedup_grads: bool = True
     dedup_rows_threshold: int = 1_000_000
     dedup_budget_div: int = 8
+    # small tables (<= dedup_exact_rows_max rows) get an EXACT dedup
+    # backward: ids < num_rows bounds the unique count by pigeonhole, so
+    # the scatter touches at most num_rows rows with no budget heuristic.
+    # DEFAULT OFF (0): measured a ~19 ms/step REGRESSION on the flagship
+    # (87.6 vs 68.6 ms) — small-table scatter-adds are already ~25x
+    # faster per row (VMEM-resident accumulator), so sorting the ~287k
+    # seq-site rows costs more than the dedup saves.  Kept as an opt-in
+    # for workloads with extreme duplication on mid-size tables.
+    dedup_exact_rows_max: int = 0
+    # sparse (lazy) row-wise Adam for tables with >= dedup_rows_threshold
+    # rows: dedup the batch's id union outside the loss, differentiate
+    # w.r.t. the gathered unique rows (scatter-free backward), and update
+    # only the touched rows of param/m/v.  Kills the dense-gradient
+    # materialization AND the dense Adam sweep over the full table (~1.9 GB
+    # HBM traffic/step for a 5M-row packed table).  Untouched rows keep
+    # stale moments — LazyAdam semantics (tf.contrib LazyAdamOptimizer),
+    # a documented deviation from the reference's dense TF1 Adam; set
+    # false for exact dense-Adam parity.  Auto-disabled unless the
+    # optimizer is adam, the mesh is single-device, and wnd_wd == 0.
+    lazy_adam: bool = True
     # sharded sequence lookups: dedup + all_gather of owned unique rows
     # (collective moves ~2*(bL/dedup_budget_div)*D bytes) instead of the
     # full-grid [B, L, D] psum; falls back to the psum on budget overflow

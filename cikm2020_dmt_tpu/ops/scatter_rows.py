@@ -331,11 +331,95 @@ def _gather_dedup_bwd(num_unique, res, g):
 gather_dedup.defvjp(_gather_dedup_fwd, _gather_dedup_bwd)
 
 
+@jax.custom_vjp
+def take_rows_sparse(rows_ext: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """``rows_ext[pos]`` whose backward is ONE segment-sum into the
+    [num_slots, D] cotangent (num_slots = len(rows_ext)).
+
+    Intended for the lazy-Adam union lookup (train/lazy.py): ``pos`` maps
+    every union element to its unique-row slot, so the cotangent
+    accumulator is budget-sized (fits VMEM for the default budget) rather
+    than table-sized, and out-of-range slots are impossible by
+    construction.  The forward is a plain row gather."""
+    return jnp.take(rows_ext, pos, axis=0, mode="clip")
+
+
+def _take_rows_sparse_fwd(rows_ext, pos):
+    return take_rows_sparse(rows_ext, pos), (pos, rows_ext.shape[0])
+
+
+def _take_rows_sparse_bwd(res, g):
+    pos, num_slots = res
+    d = g.shape[-1]
+    g_rows = jax.ops.segment_sum(g.reshape(-1, d), pos.reshape(-1),
+                                 num_segments=num_slots)
+    return g_rows, None
+
+
+take_rows_sparse.defvjp(_take_rows_sparse_fwd, _take_rows_sparse_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def dedup_take(table: jnp.ndarray, ids: jnp.ndarray,
                budget_div: int = 4) -> jnp.ndarray:
     """jnp.take(table, ids, axis=0) with a dedup-scatter backward."""
     return jnp.take(table, ids, axis=0, mode="clip")
+
+
+# ---------------------------------------------------------------------------
+# Exact-dedup gather for SMALL tables: ids live in [0, num_rows) with
+# num_rows small, so the unique count is <= min(N, num_rows) by pigeonhole
+# — the dedup backward needs NO overflow cond and NO budget heuristic.
+# sort + segment-sum + a scatter of at most num_rows unique rows replaces
+# the N-row serialized scatter-add (0.127us/row): for the 2048-row
+# Brand/Shopid/Cid3 tables one seq site drops from ~287k scattered rows to
+# <=2048.
+# ---------------------------------------------------------------------------
+
+
+def _exact_grad_table(ids_flat: jnp.ndarray, g_flat: jnp.ndarray,
+                      num_rows: int) -> jnp.ndarray:
+    n = ids_flat.shape[0]
+    d = g_flat.shape[-1]
+    budget = min(n, num_rows)                      # static; never overflows
+    order = jnp.argsort(ids_flat)
+    # match the forward's mode="clip" routing for out-of-range ids
+    sids = jnp.clip(ids_flat[order], 0, num_rows - 1)
+    sg = g_flat[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), sids[1:] != sids[:-1]])
+    seg = (jnp.cumsum(first) - 1).astype(jnp.int32)
+    # run-indexed sums land compacted in [budget, d] directly
+    summed = jax.ops.segment_sum(sg, seg, num_segments=budget)
+    # run -> id via sort compaction (NO searchsorted — it lowers to a
+    # vmapped binary-search while-loop, measured +24ms/step): distinct ids
+    # ascend, so sorting first-of-run ids with a big sentinel puts run r's
+    # id at slot r; sentinel rows are dropped by the scatter
+    rids = jnp.sort(jnp.where(first, sids, jnp.int32(num_rows)))[:budget]
+    return jnp.zeros((num_rows, d), g_flat.dtype).at[rids].add(
+        summed, mode="drop")
+
+
+@jax.custom_vjp
+def dedup_take_exact(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """jnp.take(table, ids, axis=0, mode="clip") whose backward scatters at
+    most ``min(ids.size, len(table))`` unique rows — exact (no budget, no
+    cond fallback); intended for small tables where num_rows bounds the
+    unique count tightly."""
+    return jnp.take(table, ids, axis=0, mode="clip")
+
+
+def _dedup_take_exact_fwd(table, ids):
+    return dedup_take_exact(table, ids), (ids, table.shape)
+
+
+def _dedup_take_exact_bwd(res, g):
+    ids, shape = res
+    dtable = _exact_grad_table(ids.reshape(-1).astype(jnp.int32),
+                               g.reshape(-1, shape[1]), shape[0])
+    return dtable, None
+
+
+dedup_take_exact.defvjp(_dedup_take_exact_fwd, _dedup_take_exact_bwd)
 
 
 def _dedup_take_fwd(table, ids, budget_div):

@@ -49,6 +49,11 @@ class EmbeddingEngine:
 
     def __init__(self, cfg: DMTConfig | None = None):
         self.cfg = cfg
+        # Lazy-Adam overlay, set by the Trainer DURING TRACING of the train
+        # step only: table name -> LazyOverlay(uids, rows, ...).  Lookups
+        # for an overlaid table route through the gathered unique rows so
+        # the gradient stays row-sparse (train/lazy.py).
+        self.overlay: dict = {}
         # table name -> (logical_rows, dim, pack_factor) when packing is on
         self._meta: dict[str, tuple[int, int, int]] = {}
         if cfg is not None and cfg.packed_tables:
@@ -66,15 +71,24 @@ class EmbeddingEngine:
                 self._meta.setdefault("bias:" + spec.table,
                                       (spec.id_size, spec.dim, p))
 
-    def _take_raw(self, table, ids, logical_rows):
+    def _take_raw(self, table, ids, logical_rows, allow_exact=True):
         cfg = self.cfg
-        if (cfg is not None and cfg.dedup_grads
-                and logical_rows >= cfg.dedup_rows_threshold):
-            from ..ops.scatter_rows import dedup_take
-            return dedup_take(table, ids, cfg.dedup_budget_div)
+        if cfg is not None and cfg.dedup_grads:
+            if logical_rows >= cfg.dedup_rows_threshold:
+                from ..ops.scatter_rows import dedup_take
+                return dedup_take(table, ids, cfg.dedup_budget_div)
+            if allow_exact and table.shape[0] <= cfg.dedup_exact_rows_max:
+                # not inside shard_map bodies: the custom VJP's cotangent
+                # carries different varying-axes typing than the primal
+                from ..ops.scatter_rows import dedup_take_exact
+                return dedup_take_exact(table, ids)
         return jnp.take(table, ids, axis=0, mode="clip")
 
     def _take(self, name, table, ids):
+        ov = self.overlay.get(name)
+        if ov is not None:
+            from ..train.lazy import overlay_take
+            return overlay_take(ov, ids)
         meta = self._meta.get(name)
         if meta is None or meta[2] == 1:
             return self._take_raw(table, ids, table.shape[0])
@@ -139,7 +153,7 @@ class ShardedEmbeddingEngine(EmbeddingEngine):
             # cotangent so the serialized scatter-add only touches unique
             # local rows
             emb = self._take_raw(table_shard, jnp.where(in_shard, rel, 0),
-                                 logical_rows)
+                                 logical_rows, allow_exact=False)
             if p > 1:
                 from ..nn.embedding import select_packed
                 emb = select_packed(emb, slot_l, p, dim)

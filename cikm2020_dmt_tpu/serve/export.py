@@ -188,13 +188,13 @@ def export_model(cfg: DMTConfig, ckpt_step: int,
     import orbax.checkpoint as ocp
 
     from ..core.checkpoint import CheckpointManager
-    from ..train.evaluate import _template
+    from ..train.evaluate import _restore_for_eval
 
     export_dir = os.path.abspath(export_dir or os.path.join(
         cfg.model_path, "frozen", f"ckpt-{ckpt_step}"))
     model = build_model(cfg)
     mgr = CheckpointManager(cfg.model_path)
-    restored = mgr.restore(ckpt_step, _template(model))
+    restored = _restore_for_eval(mgr, ckpt_step, model)
 
     mean = read_stat_vector(cfg.train_data_mean_path, cfg.feature_dimension)
     std = read_stat_vector(cfg.train_data_std_path, cfg.feature_dimension)

@@ -173,8 +173,7 @@ def validation(cfg: DMTConfig, once: bool = False,
             time.sleep(poll_interval)
             continue
         step = new_step
-        template = _template(model)
-        restored = ckpt.restore(step, template)
+        restored = _restore_for_eval(ckpt, step, model)
         vals, headers, p_clk, p_ord = run_eval(
             cfg, model, restored["params"], restored["model_state"],
             cfg.validation_data_path, cfg.validation_batch_size)
@@ -202,7 +201,19 @@ def _template(model: BaseModel):
     p0, m0 = zeros
     opt = make_optimizer(model.cfg).init(p0)
     return {"params": p0, "model_state": m0, "opt_state": opt,
-            "step": np.zeros((), np.int32)}
+        "step": np.zeros((), np.int32)}
+
+
+def _restore_for_eval(ckpt: CheckpointManager, step: int, model: BaseModel):
+    """Restore params/model_state regardless of how the trainer structured
+    its optimizer state (dense optax vs lazy-Adam split, train/lazy.py):
+    try the dense-trainer template first, fall back to a structure-agnostic
+    raw restore — eval only reads params + model_state, which are plain
+    dicts of arrays under either layout."""
+    try:
+        return ckpt.restore(step, _template(model))
+    except Exception:
+        return ckpt.restore(step)
 
 
 def predict(cfg: DMTConfig, ckpt_step: int, test_tag: str = "",
@@ -212,7 +223,7 @@ def predict(cfg: DMTConfig, ckpt_step: int, test_tag: str = "",
     path, write result + detail files, compute offline metrics."""
     model = build_model(cfg)
     ckpt = CheckpointManager(cfg.model_path)
-    restored = ckpt.restore(ckpt_step, _template(model))
+    restored = _restore_for_eval(ckpt, ckpt_step, model)
     params, mstate = restored["params"], restored["model_state"]
 
     paths = (cfg.test_data_path_ord if test_tag == "ord"

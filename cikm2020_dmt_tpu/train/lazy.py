@@ -1,0 +1,213 @@
+"""Lazy (sparse row-wise) Adam for large embedding tables.
+
+Device traces of the flagship step (scripts/trace_step.py, TPU v5e,
+batch 4096, 5M-row packed Sku table) showed the dense embedding-gradient
+path costing ~35 ms/step: ~21 ms materializing the dense [R, 128] gradient
+(budgeted dedup scatter + overflow conditionals + zeros broadcast) and
+~17 ms of dense Adam (param add + m/v decay fusions = ~1.9 GB of HBM
+traffic) — all to update ~15-30k touched rows.
+
+Row-sparse replacement, designed around two measured TPU laws:
+XLA ``sort`` is cheap (~2.4 ms for all of a step's sorts) while
+``searchsorted`` and per-element scalar gathers are catastrophic (a
+vmapped binary-search while-loop, ~80 ms/step in the first cut of this
+module).  Everything here is therefore built from sorts, slices, cumsums
+and row gathers only:
+
+    1. BEFORE the loss, concatenate the batch's id union across every
+       embedding spec sharing the table (known per-feature offsets),
+       argsort it ONCE.  Run index r of the sorted union <-> slot r of
+       the unique-id vector ``uids`` (compacted with one more sort, no
+       searchsorted).  The per-element slot map ``pos`` is the run index
+       carried back through the inverse permutation (argsort of the
+       permutation).  Budget overflow (unique > N/div) maps to slot U.
+    2. Differentiate w.r.t. ``rows = table[uids]``: the whole union is
+       gathered in ONE ``take_rows_sparse(rows_ext, pos)`` whose backward
+       is a single ``segment_sum`` into the [U+1, D] cotangent — no
+       serialized big-table scatter anywhere in the gradient.  Each
+       engine lookup just SLICES its range out of the union grid
+       (sites are identified by id() of the batch id-array, which the
+       model passes through to the engine untouched).
+    3. Adam on the [U, D] row block, then three unique-row scatters
+       write param/m/v back (``mode="drop"`` swallows sentinel slots).
+
+Semantics are LazyAdam (tf.contrib.opt.LazyAdamOptimizer): rows untouched
+by a step keep stale moments (no decay).  This deviates from the
+reference's dense TF1 AdamOptimizer (inference_mlp.py:264-280) — a
+documented, flag-gated deviation (``lazy_adam = false`` restores dense
+Adam).  Bias correction uses the global step count, matching
+optax.scale_by_adam.
+
+Budget overflow (never observed on Zipfian ranking traffic at div=8,
+measured 19.7x duplication): overflowed ids read the zero row and receive
+no gradient — they degrade like out-of-vocabulary ids for that one step
+instead of falling back to a dense branch.
+
+Measured (TPU v5e, flagship step, batch 4096): 78.6 -> 68.6 ms/step
+(52.1k -> 59.7k ex/s) vs the dense dedup-scatter + dense-Adam path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import DMTConfig
+from ..ops.scatter_rows import take_rows_sparse
+
+
+@dataclass(frozen=True)
+class LazyTableSpec:
+    """Static plan for one lazily-updated table."""
+    name: str                             # params["emb"] / engine key
+    fields: tuple[tuple[str, int], ...]   # (feature, id_size)
+    pack: int                             # logical rows per physical row
+    dim: int                              # logical embedding dim
+
+
+@dataclass
+class LazyCollection:
+    """Traced per-step artifacts computed BEFORE the loss."""
+    uids: jnp.ndarray       # [U] ascending unique PHYS ids, sentinel rphys
+    pos: jnp.ndarray        # [N] slot per union element (U = miss/overflow)
+    rows: jnp.ndarray       # [U, Dphys] gathered rows (pre-update values)
+    offsets: dict           # id(ids_array) -> (offset, numel)
+    rphys: int
+
+
+@dataclass
+class LazyOverlay:
+    """What the engine consults per lookup: the union grid + site map."""
+    grid: jnp.ndarray       # [N, Dphys] differentiable union lookup
+    offsets: dict           # id(ids_array) -> (offset, numel)
+    pack: int
+    dim: int
+
+
+def build_lazy_plan(cfg: DMTConfig, mesh, engine) -> tuple[LazyTableSpec, ...]:
+    """Tables eligible for lazy Adam under this config/mesh.
+
+    Gates: flag on, optimizer adam (the row update implements Adam math),
+    single-device mesh (multi-device grads need the dense psum path), no
+    embedding L2 (wnd_wd differentiates table leaves directly), and no
+    ts features on the table (ts ids are re-bucketized inside the model,
+    so the engine sees a different array than the batch's)."""
+    if not (cfg.lazy_adam and cfg.optimizer.lower() == "adam"
+            and cfg.wnd_wd <= 1e-5
+            and (mesh is None or mesh.size == 1)):
+        return ()
+    ts_feats = frozenset(cfg.attention_ts)
+    by_table: dict[str, list] = {}
+    for spec in cfg.embeddings:
+        by_table.setdefault(spec.table, []).append(spec)
+    out = []
+    for tname, specs in by_table.items():
+        if max(s.id_size for s in specs) < cfg.dedup_rows_threshold:
+            continue
+        if any(s.feature in ts_feats for s in specs):
+            continue
+        meta = engine._meta.get(tname)
+        pack = meta[2] if meta is not None else 1
+        out.append(LazyTableSpec(
+            tname, tuple((s.feature, s.id_size) for s in specs),
+            pack, specs[0].dim))
+    return tuple(out)
+
+
+def _round8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+def collect(spec: LazyTableSpec, batch: dict, table: jnp.ndarray,
+            budget_div: int) -> LazyCollection:
+    """Sort the table's id union once; derive uids / per-element slots /
+    gathered rows — sorts, cumsums, slices and row gathers only."""
+    from ..data.pipeline import IDS
+
+    rphys = table.shape[0]
+    parts, offsets, off = [], {}, 0
+    for feature, _ in spec.fields:
+        arr = batch[feature + IDS]
+        flat = arr.reshape(-1).astype(jnp.int32)
+        offsets[id(arr)] = (off, flat.shape[0])
+        off += flat.shape[0]
+        parts.append(flat)
+    allids = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    p = spec.pack
+    phys = allids // p if p > 1 else allids
+    phys = jnp.clip(phys, 0, rphys - 1)        # mirror mode="clip" forwards
+    n = phys.shape[0]
+    U = _round8(max(256, n // max(1, budget_div)))
+
+    order = jnp.argsort(phys)
+    s = jnp.take(phys, order)
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    seg = (jnp.cumsum(first) - 1).astype(jnp.int32)      # run id, sorted
+    # compact: distinct values ascend, so sorting first-of-run values with
+    # a big sentinel puts exactly the unique ids (ascending) up front
+    uids = jnp.sort(jnp.where(first, s, jnp.int32(rphys)))[:U]
+    inv = jnp.argsort(order)                             # inverse perm
+    seg_ext = jnp.where(seg < U, seg, jnp.int32(U))      # overflow -> miss
+    pos = jnp.take(seg_ext, inv)                         # [N] slot per elem
+    rows = jnp.take(table, jnp.minimum(uids, rphys - 1), axis=0)
+    return LazyCollection(uids, pos, rows, offsets, rphys)
+
+
+def make_overlay(spec: LazyTableSpec, col: LazyCollection,
+                 rows_diff: jnp.ndarray) -> LazyOverlay:
+    """Build the engine overlay INSIDE the differentiated function:
+    ``rows_diff`` is the diff leaf; the union grid is one sparse-backward
+    gather shared by every site."""
+    rows_ext = jnp.concatenate(
+        [rows_diff, jnp.zeros((1, rows_diff.shape[1]), rows_diff.dtype)])
+    grid = take_rows_sparse(rows_ext, col.pos)           # [N, Dphys]
+    return LazyOverlay(grid, col.offsets, spec.pack, spec.dim)
+
+
+def overlay_take(ov: LazyOverlay, ids: jnp.ndarray) -> jnp.ndarray:
+    """Engine lookup through the overlay: slice this site's range out of
+    the union grid (the id-array's identity locates it)."""
+    site = ov.offsets.get(id(ids))
+    if site is None:
+        raise RuntimeError(
+            "lazy-Adam overlay: lookup ids are not a batch id-array this "
+            "plan collected; exclude the table from lazy_adam or route "
+            "the lookup through the batch array unchanged")
+    off, numel = site
+    flat = jax.lax.slice_in_dim(ov.grid, off, off + numel, axis=0)
+    grid = flat.reshape(*ids.shape, ov.grid.shape[-1])
+    if ov.pack > 1:
+        from ..nn.embedding import select_packed
+        slot = ids - (ids // ov.pack) * ov.pack
+        return select_packed(grid, slot, ov.pack, ov.dim)
+    return grid
+
+
+def lazy_adam_rows(table: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
+                   uids: jnp.ndarray, rows: jnp.ndarray,
+                   g_rows: jnp.ndarray, count: jnp.ndarray,
+                   schedule: Callable, b1: float = 0.9, b2: float = 0.999,
+                   eps: float = 1e-8):
+    """One LazyAdam step on the touched rows; returns (table, m, v) with
+    the [U]-row blocks rewritten (sentinel slots dropped).
+
+    Matches optax.scale_by_adam + scale_by_learning_rate math exactly for
+    the touched rows: m/v decay + bias correction by the global ``count``.
+    """
+    lr = schedule(count)
+    safe = jnp.minimum(uids, table.shape[0] - 1)
+    mu = jnp.take(m, safe, axis=0)
+    vu = jnp.take(v, safe, axis=0)
+    m_new = b1 * mu + (1.0 - b1) * g_rows
+    v_new = b2 * vu + (1.0 - b2) * (g_rows * g_rows)
+    c = count.astype(jnp.float32)
+    mhat = m_new / (1.0 - jnp.power(b1, c))
+    vhat = v_new / (1.0 - jnp.power(b2, c))
+    p_new = rows - lr * mhat / (jnp.sqrt(vhat) + eps)
+    table = table.at[uids].set(p_new, mode="drop")
+    m = m.at[uids].set(m_new, mode="drop")
+    v = v.at[uids].set(v_new, mode="drop")
+    return table, m, v

@@ -73,6 +73,69 @@ def make_loss_fn(cfg: DMTConfig, model: BaseModel):
     return loss_fn
 
 
+def _lazy_step(trainer: "Trainer", tstate: dict, batch: dict, rng):
+    """Train-step body when lazy Adam covers the big tables (train/lazy.py).
+
+    The big tables never enter the differentiated tree: the loss sees
+    their batch-touched rows (gathered once per step) as the diff leaf,
+    optax updates only the dense remainder, and LazyAdam rewrites the
+    touched rows of param/m/v in place (donated buffers)."""
+    import optax as _optax
+
+    from .lazy import collect, lazy_adam_rows, make_overlay
+
+    cfg = trainer.cfg
+    engine = trainer.model.engine
+    params = tstate["params"]
+    cols = {t.name: collect(t, batch, params["emb"][t.name],
+                            cfg.dedup_budget_div)
+            for t in trainer.lazy_plan}
+    rows = {name: c.rows for name, c in cols.items()}
+    dense = trainer._dense_params(params)
+
+    def lazy_loss(diff, mstate, batch, rng):
+        dense_p, rows_d = diff
+        full = dict(dense_p)
+        full["emb"] = dict(dense_p["emb"])
+        for t in trainer.lazy_plan:
+            full["emb"][t.name] = jax.lax.stop_gradient(
+                params["emb"][t.name])
+        engine.overlay = {
+            t.name: make_overlay(t, cols[t.name], rows_d[t.name])
+            for t in trainer.lazy_plan}
+        try:
+            return trainer.loss_fn(full, mstate, batch, rng)
+        finally:
+            engine.overlay = {}
+
+    (loss, (out, mstate)), (g_dense, g_rows) = jax.value_and_grad(
+        lazy_loss, has_aux=True)((dense, rows),
+                                 tstate["model_state"], batch, rng)
+    updates, opt_state = trainer.optimizer.update(
+        g_dense, tstate["opt_state"], dense)
+    new_dense = _optax.apply_updates(dense, updates)
+    new_params = dict(new_dense)
+    new_params["emb"] = dict(new_dense["emb"])
+    count = tstate["step"] + 1
+    lazy_opt = {}
+    for t in trainer.lazy_plan:
+        c = cols[t.name]
+        tab, m, v = lazy_adam_rows(
+            params["emb"][t.name], tstate["lazy_opt"][t.name]["m"],
+            tstate["lazy_opt"][t.name]["v"], c.uids, c.rows,
+            g_rows[t.name], count, trainer._schedule)
+        new_params["emb"][t.name] = tab
+        lazy_opt[t.name] = {"m": m, "v": v}
+    new_tstate = {
+        "params": new_params,
+        "model_state": mstate,
+        "opt_state": opt_state,
+        "step": count,
+        "lazy_opt": lazy_opt,
+    }
+    return new_tstate, loss, out
+
+
 class Trainer:
     def __init__(self, cfg: DMTConfig, model: Optional[BaseModel] = None,
                  mesh=None):
@@ -84,22 +147,47 @@ class Trainer:
         from ..parallel.embedding_shard import make_engine
         self.model.engine = make_engine(cfg, self.mesh)
         self.optimizer = make_optimizer(cfg)
+        # lazy (row-sparse) Adam plan for the big tables (train/lazy.py);
+        # empty unless single-device adam with no embedding L2
+        from .lazy import build_lazy_plan
+        from .optim import piecewise_constant
+        self.lazy_plan = build_lazy_plan(cfg, self.mesh, self.model.engine)
+        self._schedule = piecewise_constant(cfg.step_boundary,
+                                            cfg.learning_rate)
         self.loss_fn = make_loss_fn(cfg, self.model)
         self.ckpt = CheckpointManager(cfg.model_path)
         self._compiled = None
         self._pack_layout = None
 
     # ------------------------------------------------------------------
+    def _dense_params(self, params: dict) -> dict:
+        """Params minus the lazily-updated tables (what optax sees)."""
+        if not self.lazy_plan:
+            return params
+        lazy_names = {t.name for t in self.lazy_plan}
+        out = dict(params)
+        out["emb"] = {k: v for k, v in params["emb"].items()
+                      if k not in lazy_names}
+        return out
+
     def init_state(self, rng: Optional[jax.Array] = None) -> dict:
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
         params, mstate = self.model.init(rng)
-        opt_state = self.optimizer.init(params)
-        return {
+        opt_state = self.optimizer.init(self._dense_params(params))
+        state = {
             "params": params,
             "model_state": mstate,
             "opt_state": opt_state,
             "step": jnp.zeros((), jnp.int32),
         }
+        if self.lazy_plan:
+            # moments for the lazy tables live outside optax, full-shape so
+            # untouched rows keep state across steps (LazyAdam semantics)
+            state["lazy_opt"] = {
+                t.name: {"m": jnp.zeros_like(params["emb"][t.name]),
+                         "v": jnp.zeros_like(params["emb"][t.name])}
+                for t in self.lazy_plan}
+        return state
 
     def shard_state(self, tstate: dict) -> dict:
         """Place params per the mesh sharding policy (large tables row-split
@@ -129,6 +217,9 @@ class Trainer:
             return leaf
 
         out["opt_state"] = jax.tree_util.tree_map(put_opt, tstate["opt_state"])
+        if "lazy_opt" in tstate:
+            out["lazy_opt"] = jax.tree_util.tree_map(put_opt,
+                                                     tstate["lazy_opt"])
         out["model_state"] = put_like(
             tstate["model_state"],
             jax.tree_util.tree_map(lambda _: rep, tstate["model_state"]))
@@ -148,22 +239,26 @@ class Trainer:
             if any(k.startswith("__packed_") for k in batch):
                 batch = Trainer.unpack_device_batch(batch,
                                                     trainer._pack_layout)
-            (loss, (out, mstate)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(
-                    tstate["params"], tstate["model_state"], batch, rng)
-            updates, opt_state = optimizer.update(
-                grads, tstate["opt_state"], tstate["params"])
-            params = optax.apply_updates(tstate["params"], updates)
+            if trainer.lazy_plan:
+                new_tstate, loss, out = _lazy_step(
+                    trainer, tstate, batch, rng)
+            else:
+                (loss, (out, mstate)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                        tstate["params"], tstate["model_state"], batch, rng)
+                updates, opt_state = optimizer.update(
+                    grads, tstate["opt_state"], tstate["params"])
+                params = optax.apply_updates(tstate["params"], updates)
+                new_tstate = {
+                    "params": params,
+                    "model_state": mstate,
+                    "opt_state": opt_state,
+                    "step": tstate["step"] + 1,
+                }
             p_ctr, p_cvr = scores_from_logits(cfg, out)
             metrics = task_metrics_update(
                 metrics, mask=batch["mask"], p_ctr=p_ctr, p_cvr=p_cvr,
                 loss=loss, weights=batch["valid"])
-            new_tstate = {
-                "params": params,
-                "model_state": mstate,
-                "opt_state": opt_state,
-                "step": tstate["step"] + 1,
-            }
             return new_tstate, metrics, loss
 
         self._compiled = jax.jit(step_fn, donate_argnums=(0, 1))

@@ -1,0 +1,202 @@
+"""Lazy (row-sparse) Adam + exact small-table dedup backward.
+
+Covers train/lazy.py (id-union collection, overlay lookups, LazyAdam row
+update), the engine overlay dispatch (parallel/embedding_shard.py), and
+ops/scatter_rows.dedup_take_exact.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import __graft_entry__ as g
+from cikm2020_dmt_tpu.metrics.streaming import task_metrics_init
+from cikm2020_dmt_tpu.ops.scatter_rows import dedup_take_exact
+from cikm2020_dmt_tpu.train.loop import Trainer
+
+KW = dict(sku_rows=4096, batch_size=64, validate_step=10**9,
+          dedup_rows_threshold=1000, pack_rows_threshold=1000)
+
+
+def one_dev_mesh():
+    return Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                ("data", "model"))
+
+
+def run_steps(cfg, batches, n_steps):
+    tr = Trainer(cfg, mesh=one_dev_mesh())
+    ts = tr.shard_state(tr.init_state())
+    step = tr._train_step()
+    rng = jax.random.key(0, impl="rbg")
+    loss = None
+    for i in range(n_steps):
+        b = tr.device_batch(g._as_batch(batches[i % len(batches)]))
+        ts, _, loss = step(ts, task_metrics_init(), b,
+                           jax.random.fold_in(rng, i))
+    return tr, ts, float(loss)
+
+
+class TestLazyAdam:
+    def test_plan_gating(self):
+        cfg = g._demo_config(**KW)
+        tr = Trainer(cfg, mesh=one_dev_mesh())
+        names = {t.name for t in tr.lazy_plan}
+        # every table at/above the threshold, none below
+        assert "Sku" in names and "Cid2" not in names
+        # multi-device mesh disables the plan
+        if len(jax.devices()) > 1:
+            tr8 = Trainer(cfg)
+            assert tr8.lazy_plan == () or tr8.mesh.size == 1
+        # non-adam optimizer disables it
+        tr_sgd = Trainer(g._demo_config(optimizer="sgd", **KW),
+                         mesh=one_dev_mesh())
+        assert tr_sgd.lazy_plan == ()
+        # flag off disables it
+        tr_off = Trainer(g._demo_config(lazy_adam=False, **KW),
+                         mesh=one_dev_mesh())
+        assert tr_off.lazy_plan == ()
+
+    def test_first_step_matches_dense_adam(self):
+        """With zero moments, LazyAdam's first step equals dense Adam
+        exactly: untouched rows get zero update either way."""
+        batch = g.synthetic_batch(g._demo_config(**KW), 64)
+        results = {}
+        for lazy in (True, False):
+            cfg = g._demo_config(lazy_adam=lazy, **KW)
+            _, ts, loss = run_steps(cfg, [batch], 1)
+            results[lazy] = (
+                jax.tree_util.tree_map(np.asarray, ts["params"]), loss)
+        pl, pd = results[True][0], results[False][0]
+        assert results[True][1] == pytest.approx(results[False][1], abs=1e-5)
+        for k in pd["emb"]:
+            np.testing.assert_allclose(pl["emb"][k], pd["emb"][k],
+                                       atol=1e-6, err_msg=k)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+            {k: v for k, v in pl.items() if k != "emb"},
+            {k: v for k, v in pd.items() if k != "emb"})
+
+    def test_multi_step_matches_numpy_lazyadam(self):
+        """3 steps over distinct batches must track a numpy LazyAdam
+        simulator driven by the dense per-step gradients (computed at the
+        lazy trainer's own parameter trajectory)."""
+        cfg = g._demo_config(**KW)
+        batches = [g.synthetic_batch(cfg, 64, seed=s) for s in (0, 1, 2)]
+        tr = Trainer(cfg, mesh=one_dev_mesh())
+        assert any(t.name == "Sku" for t in tr.lazy_plan)
+        ts = tr.shard_state(tr.init_state())
+        step = tr._train_step()
+        rng = jax.random.key(0, impl="rbg")
+
+        # dense-gradient oracle on an overlay-free twin
+        cfg_d = g._demo_config(lazy_adam=False, **KW)
+        tr_d = Trainer(cfg_d, mesh=one_dev_mesh())
+        grad_fn = jax.jit(jax.grad(
+            lambda p, ms, b, r: tr_d.loss_fn(p, ms, b, r)[0]))
+
+        sku = np.asarray(ts["params"]["emb"]["Sku"], np.float64)
+        m = np.zeros_like(sku)
+        v = np.zeros_like(sku)
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        lr = float(tr._schedule(jnp.int32(1)))
+        for i in range(3):
+            db = tr.device_batch(g._as_batch(batches[i]))
+            flat = {k: jnp.asarray(v)
+                    for k, v in g._as_batch(batches[i]).arrays.items()}
+            r = jax.random.fold_in(rng, i)
+            gtab = np.asarray(
+                grad_fn(ts["params"], ts["model_state"], flat, r)
+                ["emb"]["Sku"], np.float64)
+            ts, _, _ = step(ts, task_metrics_init(), db, r)
+            # touched physical rows = the batch's id union (plan fields)
+            from cikm2020_dmt_tpu.train.lazy import collect
+            spec = next(t for t in tr.lazy_plan if t.name == "Sku")
+            col = collect(spec, flat,
+                          jnp.asarray(sku.astype(np.float32)),
+                          cfg.dedup_budget_div)
+            uids = np.unique(np.asarray(col.uids))
+            uids = uids[uids < sku.shape[0]]
+            t = i + 1
+            m[uids] = b1 * m[uids] + (1 - b1) * gtab[uids]
+            v[uids] = b2 * v[uids] + (1 - b2) * gtab[uids] ** 2
+            mhat = m[uids] / (1 - b1 ** t)
+            vhat = v[uids] / (1 - b2 ** t)
+            sku[uids] -= lr * mhat / (np.sqrt(vhat) + eps)
+        got = np.asarray(ts["params"]["emb"]["Sku"], np.float64)
+        np.testing.assert_allclose(got, sku, atol=2e-5)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        """lazy_opt state survives save/restore, and the eval-side
+        structure-agnostic restore reads params from a lazy checkpoint."""
+        cfg = g._demo_config(output_path=str(tmp_path), **KW)
+        batch = g.synthetic_batch(cfg, 64)
+        tr, ts, _ = run_steps(cfg, [batch], 2)
+        tr._save(ts, 2, task_metrics_init())
+        template = jax.tree_util.tree_map(np.asarray, tr.init_state())
+        restored = tr.ckpt.restore(2, template)
+        assert "lazy_opt" in restored
+        np.testing.assert_allclose(
+            np.asarray(restored["params"]["emb"]["Sku"]),
+            np.asarray(ts["params"]["emb"]["Sku"]))
+        np.testing.assert_allclose(
+            np.asarray(restored["lazy_opt"]["Sku"]["v"]),
+            np.asarray(ts["lazy_opt"]["Sku"]["v"]))
+        from cikm2020_dmt_tpu.train.evaluate import _restore_for_eval
+        raw = _restore_for_eval(tr.ckpt, 2, tr.model)
+        np.testing.assert_allclose(
+            np.asarray(raw["params"]["emb"]["Sku"]),
+            np.asarray(ts["params"]["emb"]["Sku"]))
+
+    def test_budget_overflow_degrades_gracefully(self):
+        """All-unique ids blowing the N/div budget must not NaN or crash:
+        overflowed ids read the zero row and take no gradient."""
+        cfg = g._demo_config(dedup_budget_div=64, **KW)
+        batch = g.synthetic_batch(cfg, 64)
+        # force near-unique sku ids
+        rng = np.random.default_rng(7)
+        for k in list(batch):
+            if "sku" in k and k.endswith("__ids"):
+                ids = rng.permutation(4096)[: batch[k].size]
+                batch[k] = (ids.reshape(batch[k].shape)
+                            * (batch[k] != 0)).astype(np.int32)
+        _, ts, loss = run_steps(cfg, [batch], 2)
+        assert np.isfinite(loss)
+        assert np.isfinite(np.asarray(ts["params"]["emb"]["Sku"])).all()
+
+
+class TestExactDedup:
+    def test_value_and_grad_match_plain_take(self):
+        rng = np.random.default_rng(0)
+        table = jnp.asarray(rng.normal(size=(37, 16)).astype(np.float32))
+        # duplicates, id 0, max id, and out-of-range ids (clip semantics)
+        ids = jnp.asarray(
+            rng.integers(0, 45, size=(8, 12)).astype(np.int32))
+        ct = jnp.asarray(rng.normal(size=(8, 12, 16)).astype(np.float32))
+
+        def f_exact(t):
+            return jnp.sum(dedup_take_exact(t, ids) * ct)
+
+        def f_plain(t):
+            return jnp.sum(jnp.take(t, ids, axis=0, mode="clip") * ct)
+
+        np.testing.assert_allclose(f_exact(table), f_plain(table),
+                                   rtol=1e-6)
+        g_e = jax.grad(f_exact)(table)
+        g_p = jax.grad(f_plain)(table)
+        np.testing.assert_allclose(np.asarray(g_e), np.asarray(g_p),
+                                   atol=1e-5)
+
+    def test_n_smaller_than_rows(self):
+        table = jnp.ones((1000, 4))
+        ids = jnp.asarray([3, 3, 7], jnp.int32)
+        ct = jnp.asarray(np.full((3, 4), 2.0, np.float32))
+        grad = jax.grad(
+            lambda t: jnp.sum(dedup_take_exact(t, ids) * ct))(table)
+        dense = np.zeros((1000, 4), np.float32)
+        dense[3] = 4.0
+        dense[7] = 2.0
+        np.testing.assert_allclose(np.asarray(grad), dense)
