@@ -20,6 +20,8 @@ if "--dense" in sys.argv:
     cfg = dataclasses.replace(cfg, lazy_adam=False)
 if "--noexact" in sys.argv:
     cfg = dataclasses.replace(cfg, dedup_exact_rows_max=0)
+if "--noonehot" in sys.argv:
+    cfg = dataclasses.replace(cfg, onehot_bwd_rows_max=0)
 trainer = Trainer(cfg)
 tstate = trainer.shard_state(trainer.init_state())
 step_fn = trainer._train_step()

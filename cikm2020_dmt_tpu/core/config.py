@@ -296,6 +296,12 @@ class DMTConfig:
     # seq-site rows costs more than the dedup saves.  Kept as an opt-in
     # for workloads with extreme duplication on mid-size tables.
     dedup_exact_rows_max: int = 0
+    # tables with <= onehot_bwd_rows_max rows take their gradient as a
+    # one-hot matmul on the MXU (ops/scatter_rows.take_onehot) instead of
+    # the serialized scatter-add: measured 11.6x faster on TPU v5e at the
+    # flagship id volume (N=290k ids, R=2048, D=16: 0.24 vs 2.77 ms).
+    # FLOPs scale with N*R*D, so keep this small-table-only.
+    onehot_bwd_rows_max: int = 4096
     # sparse (lazy) row-wise Adam for tables with >= dedup_rows_threshold
     # rows: dedup the batch's id union outside the loss, differentiate
     # w.r.t. the gathered unique rows (scatter-free backward), and update

@@ -77,9 +77,13 @@ class EmbeddingEngine:
             if logical_rows >= cfg.dedup_rows_threshold:
                 from ..ops.scatter_rows import dedup_take
                 return dedup_take(table, ids, cfg.dedup_budget_div)
-            if allow_exact and table.shape[0] <= cfg.dedup_exact_rows_max:
+            if allow_exact and table.shape[0] <= cfg.onehot_bwd_rows_max:
                 # not inside shard_map bodies: the custom VJP's cotangent
                 # carries different varying-axes typing than the primal
+                from ..ops.scatter_rows import take_onehot
+                return take_onehot(table, ids)
+            if allow_exact and table.shape[0] <= cfg.dedup_exact_rows_max:
+                # not inside shard_map bodies (same caveat as above)
                 from ..ops.scatter_rows import dedup_take_exact
                 return dedup_take_exact(table, ids)
         return jnp.take(table, ids, axis=0, mode="clip")

@@ -142,16 +142,21 @@ def collect(spec: LazyTableSpec, batch: dict, table: jnp.ndarray,
     n = phys.shape[0]
     U = _round8(max(256, n // max(1, budget_div)))
 
-    order = jnp.argsort(phys)
-    s = jnp.take(phys, order)
+    # two-operand sorts replace argsort + N-element permutation gathers
+    # (device traces put one [N] int gather at ~5 ms/step): sorting
+    # (phys, iota) yields the sorted ids AND the permutation in one sort;
+    # sorting (order, seg_ext) applies the INVERSE permutation to seg_ext
+    # (slot r of the result is the seg of the element whose sort position
+    # is r... i.e. seg_ext routed back to original element order).
+    iota = jax.lax.iota(jnp.int32, n)
+    s, order = jax.lax.sort((phys, iota), num_keys=1)
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
     seg = (jnp.cumsum(first) - 1).astype(jnp.int32)      # run id, sorted
     # compact: distinct values ascend, so sorting first-of-run values with
     # a big sentinel puts exactly the unique ids (ascending) up front
     uids = jnp.sort(jnp.where(first, s, jnp.int32(rphys)))[:U]
-    inv = jnp.argsort(order)                             # inverse perm
     seg_ext = jnp.where(seg < U, seg, jnp.int32(U))      # overflow -> miss
-    pos = jnp.take(seg_ext, inv)                         # [N] slot per elem
+    _, pos = jax.lax.sort((order, seg_ext), num_keys=1)  # [N] slot per elem
     rows = jnp.take(table, jnp.minimum(uids, rphys - 1), axis=0)
     return LazyCollection(uids, pos, rows, offsets, rphys)
 

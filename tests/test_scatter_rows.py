@@ -1,6 +1,7 @@
 """Sorted-unique scatter tests (ops/scatter_rows): segment dedup math and
 the Pallas row-writer in interpret mode."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -72,3 +73,37 @@ class TestTiledScatter:
                                 interpret=True)
         np.testing.assert_allclose(np.asarray(got)[:R], want, rtol=2e-5,
                                    atol=1e-4)
+
+
+class TestTakeOnehot:
+    def test_value_and_grad_match_plain_take(self, rng):
+        from cikm2020_dmt_tpu.ops.scatter_rows import take_onehot
+        table = jnp.asarray(rng.normal(size=(37, 16)).astype(np.float32))
+        # duplicates, id 0, max id, and out-of-range ids (clip semantics)
+        ids = jnp.asarray(rng.integers(0, 45, size=(8, 12)).astype(np.int32))
+        ct = jnp.asarray(rng.normal(size=(8, 12, 16)).astype(np.float32))
+
+        def f_oh(t):
+            return jnp.sum(take_onehot(t, ids) * ct)
+
+        def f_plain(t):
+            return jnp.sum(jnp.take(t, ids, axis=0, mode="clip") * ct)
+
+        np.testing.assert_allclose(f_oh(table), f_plain(table), rtol=1e-6)
+        g_o = jax.grad(f_oh)(table)
+        g_p = jax.grad(f_plain)(table)
+        np.testing.assert_allclose(np.asarray(g_o), np.asarray(g_p),
+                                   atol=1e-5)
+
+    def test_bf16_cotangent_keeps_table_dtype(self, rng):
+        from cikm2020_dmt_tpu.ops.scatter_rows import take_onehot
+        table = jnp.asarray(rng.normal(size=(24, 8)).astype(np.float32))
+        ids = jnp.asarray(rng.integers(0, 24, size=(64,)).astype(np.int32))
+
+        def f(t):
+            return jnp.sum(take_onehot(t.astype(jnp.bfloat16), ids)
+                           .astype(jnp.float32) ** 2)
+
+        g = jax.grad(f)(table)
+        assert g.dtype == jnp.float32
+        assert np.isfinite(np.asarray(g)).all()
