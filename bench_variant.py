@@ -22,6 +22,10 @@ if "--noexact" in sys.argv:
     cfg = dataclasses.replace(cfg, dedup_exact_rows_max=0)
 if "--noonehot" in sys.argv:
     cfg = dataclasses.replace(cfg, onehot_bwd_rows_max=0)
+if "--nobf16grad" in sys.argv:
+    cfg = dataclasses.replace(cfg, onehot_bwd_bf16=False)
+if "--div16" in sys.argv:
+    cfg = dataclasses.replace(cfg, dedup_budget_div=16)
 trainer = Trainer(cfg)
 tstate = trainer.shard_state(trainer.init_state())
 step_fn = trainer._train_step()

@@ -302,6 +302,13 @@ class DMTConfig:
     # flagship id volume (N=290k ids, R=2048, D=16: 0.24 vs 2.77 ms).
     # FLOPs scale with N*R*D, so keep this small-table-only.
     onehot_bwd_rows_max: int = 4096
+    # round the small-table cotangent to bf16 before the one-hot backward
+    # dot (bf16 MXU rate instead of the 3-pass f32 decomposition; f32
+    # accumulation preserved).  DEFAULT OFF: measured a ~3 ms/step
+    # REGRESSION on the flagship (53.2 vs 50.3) — the [N, D] f32->bf16
+    # cast materializes and breaks XLA's fusion of the cotangent producer
+    # into the dot operand, costing more than the faster MXU rate saves.
+    onehot_bwd_bf16: bool = False
     # sparse (lazy) row-wise Adam for tables with >= dedup_rows_threshold
     # rows: dedup the batch's id union outside the loss, differentiate
     # w.r.t. the gathered unique rows (scatter-free backward), and update

@@ -476,8 +476,15 @@ def _make_bwd_kernel(num_heads, scale, rate, train, block, Tp, D, F,
 
 
 def _block_size(B: int) -> int:
-    for nb in (16, 8, 4, 2, 1):
-        if B % nb == 0:
+    """Examples per grid program.  32 is the measured sweet spot on v5e at
+    the flagship dims (Tp=56, D=80, F=320): vs 16 it halves the per-program
+    weight reloads and doubles the projection/FF matmul M-dim, 50.3 ->
+    45.5 ms/step; 64 exceeds the 16 MB scoped-VMEM limit (26.8 MB) in the
+    recompute backward.  DMT_BLOCK_NB overrides for other shapes."""
+    import os
+    pref = int(os.environ.get("DMT_BLOCK_NB", "32"))
+    for nb in (pref, 32, 16, 8, 4, 2, 1):
+        if nb >= 1 and B % nb == 0:
             return nb
     return 1
 

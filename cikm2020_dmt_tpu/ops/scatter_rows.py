@@ -359,8 +359,9 @@ def _take_rows_sparse_bwd(res, g):
 take_rows_sparse.defvjp(_take_rows_sparse_fwd, _take_rows_sparse_bwd)
 
 
-@jax.custom_vjp
-def take_onehot(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def take_onehot(table: jnp.ndarray, ids: jnp.ndarray,
+                bf16_grad: bool = False) -> jnp.ndarray:
     """``jnp.take(table, ids, axis=0, mode="clip")`` whose backward is a
     one-hot matmul on the MXU instead of a serialized scatter-add.
 
@@ -371,22 +372,46 @@ def take_onehot(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     fuses the iota-compare one-hot generation into the dot operand (no
     [N, R] materialization in HBM).  Measured on TPU v5e at the flagship
     id volume (N=290k, R=2048, D=16): 0.24 vs 2.77 ms — 11.6x faster.
-    Only sensible when R is small (FLOPs scale with N*R*D)."""
+    Only sensible when R is small (FLOPs scale with N*R*D).
+
+    The FORWARD also rides the MXU when the table is bf16:
+    ``onehot(ids) @ table`` selects rows exactly (0/1 weights are exact in
+    bf16, f32 accumulation) and beats the row gather at the same id
+    volume.  f32 tables keep the gather — the f32 MXU rate makes the
+    matmul a wash there.
+
+    ``bf16_grad=True`` (static) rounds an f32 cotangent to bf16 before the
+    backward dot so it runs at the bf16 MXU rate (the f32 dot lowers to a
+    3-pass bf16 decomposition, ~4x slower).  Accumulation stays f32; only
+    the per-element cotangents lose mantissa — the same compression bf16
+    gradient all-reduces apply.  Flag-gated via cfg.onehot_bwd_bf16, only
+    engaged when the model already computes in bf16."""
+    if table.dtype == jnp.bfloat16:
+        num_rows, d = table.shape
+        idf = jnp.clip(ids.reshape(-1).astype(jnp.int32), 0, num_rows - 1)
+        oh = (idf[:, None] == jnp.arange(num_rows, dtype=jnp.int32)[None, :]
+              ).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(oh, table, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        return out.astype(table.dtype).reshape(*ids.shape, d)
     return jnp.take(table, ids, axis=0, mode="clip")
 
 
-def _take_onehot_fwd(table, ids):
+def _take_onehot_fwd(table, ids, bf16_grad):
+    # fwd receives all args in primal order (only bwd gets nondiff first);
     # residuals must be JAX types: a 0-dim array carries the table dtype
-    return take_onehot(table, ids), (ids, table.shape[0],
-                                     jnp.zeros((), table.dtype))
+    return take_onehot(table, ids, bf16_grad), (ids, table.shape[0],
+                                                jnp.zeros((), table.dtype))
 
 
-def _take_onehot_bwd(res, g):
+def _take_onehot_bwd(bf16_grad, res, g):
     ids, num_rows, dt_probe = res
     tdtype = dt_probe.dtype
     d = g.shape[-1]
     idf = jnp.clip(ids.reshape(-1).astype(jnp.int32), 0, num_rows - 1)
     gf = g.reshape(-1, d)
+    if bf16_grad and gf.dtype == jnp.float32:
+        gf = gf.astype(jnp.bfloat16)
     oh = (idf[:, None]
           == jnp.arange(num_rows, dtype=jnp.int32)[None, :]).astype(gf.dtype)
     dtable = jax.lax.dot_general(oh, gf, (((0,), (0,)), ((), ())),

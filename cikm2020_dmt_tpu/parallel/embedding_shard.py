@@ -81,7 +81,9 @@ class EmbeddingEngine:
                 # not inside shard_map bodies: the custom VJP's cotangent
                 # carries different varying-axes typing than the primal
                 from ..ops.scatter_rows import take_onehot
-                return take_onehot(table, ids)
+                return take_onehot(table, ids,
+                                   cfg.onehot_bwd_bf16
+                                   and cfg.compute_dtype == "bfloat16")
             if allow_exact and table.shape[0] <= cfg.dedup_exact_rows_max:
                 # not inside shard_map bodies (same caveat as above)
                 from ..ops.scatter_rows import dedup_take_exact

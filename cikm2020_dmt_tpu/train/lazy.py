@@ -76,6 +76,7 @@ class LazyCollection:
     rows: jnp.ndarray       # [U, Dphys] gathered rows (pre-update values)
     offsets: dict           # id(ids_array) -> (offset, numel)
     rphys: int
+    overflow: jnp.ndarray = None  # scalar: unique ids beyond the U budget
 
 
 @dataclass
@@ -155,10 +156,23 @@ def collect(spec: LazyTableSpec, batch: dict, table: jnp.ndarray,
     # compact: distinct values ascend, so sorting first-of-run values with
     # a big sentinel puts exactly the unique ids (ascending) up front
     uids = jnp.sort(jnp.where(first, s, jnp.int32(rphys)))[:U]
+    # de-duplicate the sentinel tail (all rphys) so uids is strictly
+    # ascending AND unique: the write-back scatters can then carry
+    # indices_are_sorted + unique_indices, which XLA's TPU scatter
+    # emitter needs to skip conflict serialization.  rphys+k stays out of
+    # range, so mode="drop" semantics are unchanged.
+    uids = jnp.where(uids >= rphys,
+                     rphys + jax.lax.iota(jnp.int32, U), uids)
     seg_ext = jnp.where(seg < U, seg, jnp.int32(U))      # overflow -> miss
     _, pos = jax.lax.sort((order, seg_ext), num_keys=1)  # [N] slot per elem
-    rows = jnp.take(table, jnp.minimum(uids, rphys - 1), axis=0)
-    return LazyCollection(uids, pos, rows, offsets, rphys)
+    rows = jnp.take(table, jnp.minimum(uids, rphys - 1), axis=0,
+                    indices_are_sorted=True)
+    # overflow visibility: unique ids beyond the budget read the zero row
+    # and take no gradient this step — count them so production runs can
+    # tune dedup_budget_div down from the conservative default safely
+    nuniq = jnp.sum(first.astype(jnp.int32))
+    overflow = jnp.maximum(nuniq - jnp.int32(U), 0)
+    return LazyCollection(uids, pos, rows, offsets, rphys, overflow)
 
 
 def make_overlay(spec: LazyTableSpec, col: LazyCollection,
@@ -204,15 +218,20 @@ def lazy_adam_rows(table: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
     """
     lr = schedule(count)
     safe = jnp.minimum(uids, table.shape[0] - 1)
-    mu = jnp.take(m, safe, axis=0)
-    vu = jnp.take(v, safe, axis=0)
+    mu = jnp.take(m, safe, axis=0, indices_are_sorted=True)
+    vu = jnp.take(v, safe, axis=0, indices_are_sorted=True)
     m_new = b1 * mu + (1.0 - b1) * g_rows
     v_new = b2 * vu + (1.0 - b2) * (g_rows * g_rows)
     c = count.astype(jnp.float32)
     mhat = m_new / (1.0 - jnp.power(b1, c))
     vhat = v_new / (1.0 - jnp.power(b2, c))
     p_new = rows - lr * mhat / (jnp.sqrt(vhat) + eps)
-    table = table.at[uids].set(p_new, mode="drop")
-    m = m.at[uids].set(m_new, mode="drop")
-    v = v.at[uids].set(v_new, mode="drop")
+    # uids is strictly ascending + unique (sentinel tail de-duplicated in
+    # collect), so the scatters can skip conflict serialization
+    table = table.at[uids].set(p_new, mode="drop",
+                               indices_are_sorted=True, unique_indices=True)
+    m = m.at[uids].set(m_new, mode="drop",
+                       indices_are_sorted=True, unique_indices=True)
+    v = v.at[uids].set(v_new, mode="drop",
+                       indices_are_sorted=True, unique_indices=True)
     return table, m, v

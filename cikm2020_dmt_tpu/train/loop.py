@@ -132,6 +132,11 @@ def _lazy_step(trainer: "Trainer", tstate: dict, batch: dict, rng):
         "opt_state": opt_state,
         "step": count,
         "lazy_opt": lazy_opt,
+        # cumulative count of unique ids dropped by the dedup budget
+        # (zero forward rows + no gradient); nonzero means raise
+        # dedup_budget_div's denominator margin — see train/lazy.py
+        "lazy_overflow": tstate["lazy_overflow"] + sum(
+            c.overflow for c in cols.values()),
     }
     return new_tstate, loss, out
 
@@ -187,6 +192,7 @@ class Trainer:
                 t.name: {"m": jnp.zeros_like(params["emb"][t.name]),
                          "v": jnp.zeros_like(params["emb"][t.name])}
                 for t in self.lazy_plan}
+            state["lazy_overflow"] = jnp.zeros((), jnp.int32)
         return state
 
     def shard_state(self, tstate: dict) -> dict:
@@ -220,6 +226,9 @@ class Trainer:
         if "lazy_opt" in tstate:
             out["lazy_opt"] = jax.tree_util.tree_map(put_opt,
                                                      tstate["lazy_opt"])
+        if "lazy_overflow" in tstate:
+            out["lazy_overflow"] = jax.device_put(tstate["lazy_overflow"],
+                                                  rep)
         out["model_state"] = put_like(
             tstate["model_state"],
             jax.tree_util.tree_map(lambda _: rep, tstate["model_state"]))
@@ -416,13 +425,19 @@ class Trainer:
                 step_time, eps = meter.tick(batch.size)
                 if step % log_every == 0 or step == max_steps:
                     vals = task_metrics_values(metrics)
+                    ovf = ""
+                    if int(tstate.get("lazy_overflow", 0)) > 0:
+                        ovf = (f" | LAZY-OVERFLOW "
+                               f"{int(tstate['lazy_overflow'])} ids dropped"
+                               " (lower dedup_budget_div)")
                     log_line(
                         f"step {step} | loss {float(loss):.6f} | "
                         f"clk p/r/auc {vals['click_precision']:.4f}/"
                         f"{vals['click_recall']:.4f}/{vals['click_auc']:.4f} | "
                         f"ord p/r/auc {vals['order_precision']:.4f}/"
                         f"{vals['order_recall']:.4f}/{vals['order_auc']:.4f} | "
-                        f"{eps:.0f} ex/s ({step_time*1000:.0f} ms/step)")
+                        f"{eps:.0f} ex/s ({step_time*1000:.0f} ms/step)"
+                        + ovf)
                 if step % cfg.validate_step == 0 or step == max_steps:
                     self._save(tstate, step, metrics)
                     if summary is not None:

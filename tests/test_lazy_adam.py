@@ -166,6 +166,14 @@ class TestLazyAdam:
         _, ts, loss = run_steps(cfg, [batch], 2)
         assert np.isfinite(loss)
         assert np.isfinite(np.asarray(ts["params"]["emb"]["Sku"])).all()
+        # the overflow counter must surface the dropped ids
+        assert int(ts["lazy_overflow"]) > 0
+
+    def test_no_overflow_counter_stays_zero(self):
+        cfg = g._demo_config(**KW)
+        batch = g.synthetic_batch(cfg, 64)
+        _, ts, _ = run_steps(cfg, [batch], 2)
+        assert int(ts["lazy_overflow"]) == 0
 
 
 class TestExactDedup:
