@@ -120,12 +120,11 @@ def _lazy_step(trainer: "Trainer", tstate: dict, batch: dict, rng):
     lazy_opt = {}
     for t in trainer.lazy_plan:
         c = cols[t.name]
-        tab, m, v = lazy_adam_rows(
-            params["emb"][t.name], tstate["lazy_opt"][t.name]["m"],
-            tstate["lazy_opt"][t.name]["v"], c.uids, c.rows,
-            g_rows[t.name], count, trainer._schedule)
+        tab, mv = lazy_adam_rows(
+            params["emb"][t.name], tstate["lazy_opt"][t.name]["mv"],
+            c.uids, c.rows, g_rows[t.name], count, trainer._schedule)
         new_params["emb"][t.name] = tab
-        lazy_opt[t.name] = {"m": m, "v": v}
+        lazy_opt[t.name] = {"mv": mv}
     new_tstate = {
         "params": new_params,
         "model_state": mstate,
@@ -187,10 +186,14 @@ class Trainer:
         }
         if self.lazy_plan:
             # moments for the lazy tables live outside optax, full-shape so
-            # untouched rows keep state across steps (LazyAdam semantics)
+            # untouched rows keep state across steps (LazyAdam semantics);
+            # m and v lane-concatenated as [R, 2*D] (one gather/scatter per
+            # step instead of two — see lazy_adam_rows)
             state["lazy_opt"] = {
-                t.name: {"m": jnp.zeros_like(params["emb"][t.name]),
-                         "v": jnp.zeros_like(params["emb"][t.name])}
+                t.name: {"mv": jnp.zeros(
+                    (params["emb"][t.name].shape[0],
+                     2 * params["emb"][t.name].shape[1]),
+                    params["emb"][t.name].dtype)}
                 for t in self.lazy_plan}
             state["lazy_overflow"] = jnp.zeros((), jnp.int32)
         return state

@@ -143,8 +143,8 @@ class TestLazyAdam:
             np.asarray(restored["params"]["emb"]["Sku"]),
             np.asarray(ts["params"]["emb"]["Sku"]))
         np.testing.assert_allclose(
-            np.asarray(restored["lazy_opt"]["Sku"]["v"]),
-            np.asarray(ts["lazy_opt"]["Sku"]["v"]))
+            np.asarray(restored["lazy_opt"]["Sku"]["mv"]),
+            np.asarray(ts["lazy_opt"]["Sku"]["mv"]))
         from cikm2020_dmt_tpu.train.evaluate import _restore_for_eval
         raw = _restore_for_eval(tr.ckpt, 2, tr.model)
         np.testing.assert_allclose(
