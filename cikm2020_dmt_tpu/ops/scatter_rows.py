@@ -158,6 +158,191 @@ def write_rows(ids: jnp.ndarray, rows: jnp.ndarray, num_rows: int,
     return out[:num_rows, :d]
 
 
+def _update_rows_kernel(ids_ref, rows_hbm, table_hbm, out_hbm, *,
+                        chunk: int, num_rows: int, nslots: int = 8):
+    """In-place row overwrite: per id, one HBM->HBM row DMA from the update
+    block straight into the table (aliased in/out) — no VMEM staging, no
+    scatter emitter.  Out-of-range ids (the lazy-Adam sentinel tail,
+    >= num_rows) are skipped: same semantics as
+    ``.at[ids].set(rows, mode="drop")`` for unique ids.
+
+    ids arrive via a (1, chunk) SMEM BlockSpec (Pallas pipelines the
+    fetch); rows/table stay in HBM (``ANY``) because Mosaic cannot slice
+    single sublanes out of tiled VMEM, while HBM row slices are free."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    step = pl.program_id(0)
+
+    def body(sem_w):
+        def issue(i, _):
+            row_id = ids_ref[0, 0, i]
+
+            # free the slot: wait for its previous DMA (if it was started)
+            @pl.when(i >= nslots)
+            def _():
+                prev = ids_ref[0, 0, i - nslots]
+
+                @pl.when(prev < num_rows)
+                def _():
+                    pltpu.make_async_copy(
+                        rows_hbm.at[step * chunk + i - nslots],
+                        out_hbm.at[prev],
+                        sem_w.at[i % nslots]).wait()
+
+            @pl.when(row_id < num_rows)
+            def _():
+                pltpu.make_async_copy(
+                    rows_hbm.at[step * chunk + i],
+                    out_hbm.at[row_id],
+                    sem_w.at[i % nslots]).start()
+            return 0
+
+        jax.lax.fori_loop(0, chunk, issue, 0)
+
+        def drain(k, _):
+            i = chunk - nslots + k
+            rid = ids_ref[0, 0, i]
+
+            @pl.when(rid < num_rows)
+            def _():
+                pltpu.make_async_copy(
+                    rows_hbm.at[step * chunk + i],
+                    out_hbm.at[rid],
+                    sem_w.at[i % nslots]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, nslots, drain, 0)
+
+    pl.run_scoped(body, sem_w=pltpu.SemaphoreType.DMA((nslots,)))
+
+
+def update_rows(table: jnp.ndarray, ids: jnp.ndarray, rows: jnp.ndarray,
+                interpret: bool = False) -> jnp.ndarray:
+    """``table.at[ids].set(rows, mode="drop")`` for UNIQUE ids as a Pallas
+    row-DMA kernel: the table stays in place (aliased in/out, donatable)
+    and only the touched rows move — no full-table traffic, no scatter
+    emitter.  Lane count must be a 128 multiple (the packed-table layout
+    guarantees it for the lazy-Adam write-back)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = rows.shape
+    num_rows = table.shape[0]
+    assert table.shape[1] == d and d % 128 == 0, (table.shape, rows.shape)
+    chunk = 512
+    npad = ((n + chunk - 1) // chunk) * chunk
+    if npad != n:
+        ids = jnp.pad(ids, (0, npad - n), constant_values=num_rows)
+        rows = jnp.pad(rows, ((0, npad - n), (0, 0)))
+    # 3-D [nchunks, 1, chunk] so the SMEM block's trailing two dims equal
+    # the array dims (Pallas TPU block-shape constraint)
+    ids = ids.reshape(npad // chunk, 1, chunk)
+
+    kernel = functools.partial(_update_rows_kernel, chunk=chunk,
+                               num_rows=num_rows)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(npad // chunk,),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(ids, rows, table)
+
+
+def _gather_rows_kernel(ids_ref, table_hbm, out_hbm, *,
+                        chunk: int, num_rows: int, nslots: int = 8):
+    """Per id, one HBM->HBM row DMA table[min(id, R-1)] -> out[i]: the
+    read twin of ``_update_rows_kernel`` (same SMEM id block + bounded
+    in-flight DMA window).  Clamp mirrors the collect path's
+    ``jnp.minimum(uids, rphys - 1)`` (train/lazy.py) so sentinel slots
+    read the last row instead of faulting."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    step = pl.program_id(0)
+
+    def clamped(i):
+        rid = ids_ref[0, 0, i]
+        return jnp.minimum(rid, num_rows - 1)
+
+    def body(sem_w):
+        def issue(i, _):
+            @pl.when(i >= nslots)
+            def _():
+                pltpu.make_async_copy(
+                    table_hbm.at[clamped(i - nslots)],
+                    out_hbm.at[step * chunk + i - nslots],
+                    sem_w.at[i % nslots]).wait()
+
+            pltpu.make_async_copy(
+                table_hbm.at[clamped(i)],
+                out_hbm.at[step * chunk + i],
+                sem_w.at[i % nslots]).start()
+            return 0
+
+        jax.lax.fori_loop(0, chunk, issue, 0)
+
+        def drain(k, _):
+            i = chunk - nslots + k
+            pltpu.make_async_copy(
+                table_hbm.at[clamped(i)],
+                out_hbm.at[step * chunk + i],
+                sem_w.at[i % nslots]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, nslots, drain, 0)
+
+    pl.run_scoped(body, sem_w=pltpu.SemaphoreType.DMA((nslots,)))
+
+
+def gather_rows(table: jnp.ndarray, ids: jnp.ndarray,
+                interpret: bool = False) -> jnp.ndarray:
+    """``jnp.take(table, jnp.minimum(ids, R-1), axis=0)`` as a Pallas
+    per-row DMA kernel (read twin of ``update_rows``): only the touched
+    rows move, immune to the memory-space-assignment staging that slows
+    XLA's gather/scatter inside the full train step.  Lane count must be
+    a 128 multiple."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = ids.shape[0]
+    num_rows, d = table.shape
+    assert d % 128 == 0, table.shape
+    chunk = 512
+    npad = ((n + chunk - 1) // chunk) * chunk
+    if npad != n:
+        ids = jnp.pad(ids, (0, npad - n))
+    ids = ids.reshape(npad // chunk, 1, chunk)
+
+    kernel = functools.partial(_gather_rows_kernel, chunk=chunk,
+                               num_rows=num_rows)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(npad // chunk,),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((npad, d), table.dtype),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(ids, table)
+    return out[:n]
+
+
 def scatter_add_rows(ids: jnp.ndarray, rows: jnp.ndarray, num_rows: int,
                      interpret: bool = False) -> jnp.ndarray:
     """Drop-in for ``jnp.zeros((num_rows, D)).at[ids].add(rows)`` built from

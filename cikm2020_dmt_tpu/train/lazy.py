@@ -234,11 +234,26 @@ def lazy_adam_rows(table: jnp.ndarray, mv: jnp.ndarray,
     mhat = m_new / (1.0 - jnp.power(b1, c))
     vhat = v_new / (1.0 - jnp.power(b2, c))
     p_new = rows - lr * mhat / (jnp.sqrt(vhat) + eps)
+    mv_new = jnp.concatenate([m_new, v_new], axis=1)
+    # Write-back: on TPU, a Pallas per-row HBM->HBM DMA kernel
+    # (ops/scatter_rows.update_rows, in-place via input_output_aliases).
+    # XLA's scatter is NOT intrinsically slow here — isolated, the same
+    # sorted-unique drop-mode scatter runs in ~40us — but inside the full
+    # step the memory-space-assignment pass stages the update rows in VMEM
+    # and the kCustom scatter emitter degrades to ~6.1 ms/step for the two
+    # write-backs (device trace, fusion.29/30; reproduced by none of:
+    # producer fusion, OOB sentinel tail, 16MB scoped-VMEM pressure —
+    # scripts/update_rows_bench.py).  The DMA kernel measures ~0.04 ms at
+    # the same U and is immune to MSA's operand placement.
+    if jax.default_backend() == "tpu" and table.shape[1] % 128 == 0:
+        from ..ops.scatter_rows import update_rows
+        table = update_rows(table, uids, p_new)
+        mv = update_rows(mv, uids, mv_new)
+        return table, mv
     # uids is strictly ascending + unique (sentinel tail de-duplicated in
     # collect), so the scatters can skip conflict serialization
     table = table.at[uids].set(p_new, mode="drop",
                                indices_are_sorted=True, unique_indices=True)
-    mv = mv.at[uids].set(jnp.concatenate([m_new, v_new], axis=1),
-                         mode="drop",
+    mv = mv.at[uids].set(mv_new, mode="drop",
                          indices_are_sorted=True, unique_indices=True)
     return table, mv

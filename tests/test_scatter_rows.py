@@ -49,6 +49,36 @@ class TestWriteRows:
         want[ids] = rows
         np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
 
+    def test_update_rows_in_place(self, rng):
+        """update_rows == .at[ids].set(rows, mode='drop') for unique sorted
+        ids incl. the lazy-Adam out-of-range sentinel tail (skipped)."""
+        from cikm2020_dmt_tpu.ops.scatter_rows import update_rows
+        for d in (128, 256):
+            R, U = 500, 90
+            table = rng.normal(size=(R, d)).astype(np.float32)
+            ids = np.sort(rng.choice(R, U, replace=False)).astype(np.int32)
+            ids = np.concatenate([ids, R + np.arange(17, dtype=np.int32)])
+            rows = rng.normal(size=(len(ids), d)).astype(np.float32)
+            want = table.copy()
+            want[ids[:U]] = rows[:U]
+            got = update_rows(jnp.asarray(table), jnp.asarray(ids),
+                              jnp.asarray(rows), interpret=True)
+            np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+    def test_gather_rows_matches_take(self, rng):
+        """gather_rows == jnp.take(table, min(ids, R-1)) incl. the
+        out-of-range sentinel tail (clamped to the last row)."""
+        from cikm2020_dmt_tpu.ops.scatter_rows import gather_rows
+        for d in (128, 256):
+            R, U = 500, 90
+            table = rng.normal(size=(R, d)).astype(np.float32)
+            ids = np.sort(rng.choice(R, U, replace=False)).astype(np.int32)
+            ids = np.concatenate([ids, R + np.arange(17, dtype=np.int32)])
+            want = table[np.minimum(ids, R - 1)]
+            got = gather_rows(jnp.asarray(table), jnp.asarray(ids),
+                              interpret=True)
+            np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
     def test_scatter_add_rows_matches_at_add(self, rng):
         R, D, N = 200, 16, 1000
         ids = rng.integers(0, R, N).astype(np.int32)
