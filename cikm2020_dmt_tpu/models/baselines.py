@@ -1,22 +1,24 @@
-"""Paper-baseline models: LR, Wide&Deep, DCN, DIN, DIEN.
+"""Baseline models: LR, Wide&Deep, DCN, DIN, DIEN.
 
 The reference dispatch table names these model_types
-(reference model/inference_mlp.py:27-54) but ships no sources for them —
-``din.py``/``dien.py`` exist only as orphaned bytecode (SURVEY.md §2.4.1).
-They are the comparison baselines of the DMT paper (Table 1), implemented
-here from the published papers with this framework's components:
+(reference model/inference_mlp.py:27-54).  lr/wnd/dcn ship no reference
+source or bytecode at all and are implemented from the published papers;
+din/dien exist as orphaned bytecode (model/net/__pycache__/
+{din,dien,dien_utils,dien_rnn}.cpython-36.pyc) and are reconstructed
+BYTECODE-EXACT from a 3.6 wordcode disassembly (SURVEY.md §2.4.1):
 
 - lr    logistic regression over [dense ∥ pooled embeddings]
 - wnd   Wide & Deep (Cheng et al. 2016): linear wide path on dense
         features + deep MLP on the combiner
 - dcn   Deep & Cross (Wang et al. 2017): explicit cross layers
         x_{l+1} = x0 * (x_l . w_l) + b_l + x_l, parallel deep MLP
-- din   Deep Interest Network (Zhou et al. 2018): per-behavior target
-        attention with the [e, t, e*t, e-t] scoring MLP, masked softmax,
-        weighted-sum interest
-- dien  Deep Interest Evolution Network (Zhou et al. 2019): GRU interest
-        extraction + AUGRU (attention-update-gate GRU) evolution, final
-        hidden state as the interest vector
+- din   per-group scoring MLP 40/20/1 (sigmoid/sigmoid/identity, dense_
+        layer bias 0.1) over [u, t, u-t, u*t], scores scaled 1/sqrt(D)
+        and injected RAW (no softmax) as sum-combiner weights for the
+        attention-pair user features (din.pyc embedding_din_weight_calc)
+- dien  GRU(16) interest extraction -> masked-softmax MLP attention
+        (prelu query proj, 80/40/1) -> VecAttGRU(16) evolution
+        (dien.pyc dien_core, dien_utils.pyc attention/VecAttGRUCell)
 
 All are single-logit CTR models (the reference's baseline contract).
 """
@@ -155,68 +157,120 @@ def _group_embeddings(emb, batch, cfg, gi, engine):
             mask)
 
 
-def din_attention_init(rng, dim: int, hidden=(64, 32), dtype=jnp.float32) -> Params:
-    """Scoring MLP over [e, t, e*t, e-t] -> 1 (DIN local activation unit)."""
-    params, _ = mlp_init(rng, 4 * dim, hidden, 1, out_bias_init=0.0,
-                         w_init=glorot_uniform(), dtype=dtype)
-    return params
+DIN_ATTENTION_UNITS = (40, 20)  # din.pyc: '{0}/attention/layer0' 40, layer1 20
 
 
-def din_attention_apply(params: Params, seq, tar, mask) -> jnp.ndarray:
-    """Masked-softmax target attention -> weighted sum [B, D]."""
+def din_attention_init(rng, dim: int, *, is_bn: bool = False,
+                       dtype=jnp.float32):
+    """DIN local activation unit: dense_layer stack 4*dim -> 40 -> 20 -> 1
+    (din.pyc ``embedding_din_weight_calc``, bytecode-only reference module;
+    all three layers use the dense_layer default bias_init=0.1)."""
+    from ..nn.layers import dense_layer_init
+    keys = jax.random.split(rng, 3)
+    sizes = (4 * dim,) + DIN_ATTENTION_UNITS + (1,)
+    params: Params = {}
+    state = {}
+    for i in range(3):
+        params[f"layer{i}"], st = dense_layer_init(
+            keys[i], sizes[i], sizes[i + 1], bias_init=0.1, is_bn=is_bn,
+            dtype=dtype)
+        if st:
+            state[f"layer{i}"] = st
+    return params, state
+
+
+def din_attention_scores(params: Params, state, seq, tar, *, train,
+                         is_bn=False, bn_decay=0.999):
+    """Raw (NOT softmaxed) per-element attention scores [B, L].
+
+    Bytecode-exact vs din.pyc ``embedding_din_weight_calc``: features are
+    [u, t, u-t, u*t]; layer activations sigmoid/sigmoid/identity; the final
+    score is scaled by 1/sqrt(D).  The reference computes scores over the
+    sparse present elements only; here the dense [B*L] layout includes
+    padded rows (they are dropped later by the pooling presence mask —
+    with is_bn=true their contribution to batch-norm statistics is a
+    documented deviation).
+    """
+    from ..nn.layers import dense_layer_apply
     B, L, D = seq.shape
     t = jnp.broadcast_to(tar[:, None, :], (B, L, D))
-    feats = jnp.concatenate([seq, t, seq * t, seq - t], axis=-1)
-    scores, _ = mlp_apply(params, {}, feats.reshape(B * L, 4 * D), train=False)
-    scores = scores.reshape(B, L)
-    scores = jnp.where(mask > 0, scores, NEG_INF)
-    w = jax.nn.softmax(scores, axis=-1) * mask.astype(scores.dtype)
-    return jnp.einsum("bl,bld->bd", w, seq)
+    feats = jnp.concatenate([seq, t, seq - t, seq * t], axis=-1)
+    y = feats.reshape(B * L, 4 * D)
+    acts = (jax.nn.sigmoid, jax.nn.sigmoid, lambda v: v)
+    new_state = {}
+    for i in range(3):
+        y, st = dense_layer_apply(
+            params[f"layer{i}"], state.get(f"layer{i}", {}), y,
+            activation=acts[i], train=train, is_bn=is_bn, is_dropout=False,
+            bn_decay=bn_decay)
+        if st:
+            new_state[f"layer{i}"] = st
+    return y.reshape(B, L) / jnp.sqrt(jnp.asarray(D, y.dtype)), new_state
 
 
 class DIN(BaseModel):
-    """Deep Interest Network (reference model_type 'din')."""
+    """Deep Interest Network (reference model_type 'din').
+
+    Reconstructed from bytecode evidence (the reference ships
+    model/net/din.py only as __pycache__/din.cpython-36.pyc): raw scaled
+    attention scores become the Wts of the attention-pair user features,
+    and ALL features pool through the standard combiner with
+    combiner_type="sum" (din.pyc ``embedding_din``); there is no separate
+    interest/target concat.  The bytecode also defines a ``dice``
+    activation that nothing calls (dead code, not reproduced).
+    """
 
     name = "din"
 
     def _input_dim(self):
-        d = combiner_dim(self.cfg, skip_seq=True)
-        for gi in range(len(self.cfg.attention_pairs)):
-            d += 2 * seq_input_dim(self.cfg, gi)  # interest + target emb
-        return d
+        return combiner_dim(self.cfg)
 
     def init(self, rng):
         from ..nn.embedding import collection_init
         n = len(self.cfg.attention_pairs)
         keys = jax.random.split(rng, n + 2)
         params = {"emb": self._emb_init(keys[0], self.cfg.embeddings)}
+        state = {}
         for gi in range(n):
-            params[f"attn{gi}"] = din_attention_init(
-                keys[1 + gi], seq_input_dim(self.cfg, gi), dtype=self.dtype)
+            params[f"attn{gi}"], st = din_attention_init(
+                keys[1 + gi], seq_input_dim(self.cfg, gi),
+                is_bn=self.cfg.is_bn, dtype=self.dtype)
+            if st:
+                state[f"attn{gi}"] = st
         mlp, st = mlp_init(keys[-1], self._input_dim(), self.cfg.hidden_units,
                            self.cfg.output_units, is_bn=self.cfg.is_bn,
                            out_bias_init=0.0, dtype=self.dtype)
         params["mlp"] = mlp
-        return params, ({"mlp": st} if st else {})
+        if st:
+            state["mlp"] = st
+        return params, state
 
     def apply(self, params, state, batch, *, train, rng=None, is_predict=False):
         cfg = self.cfg
-        parts = [self._cast(embedding_combiner(params["emb"], batch, cfg,
-                                               skip_seq=True,
-                                               engine=self.engine))]
+        new_state = {}
+        wts_override = {}
         for gi in range(len(cfg.attention_pairs)):
             seq, tar, mask = _group_embeddings(params["emb"], batch, cfg, gi,
                                                self.engine)
             seq, tar = self._cast(seq), self._cast(tar)
-            parts.append(din_attention_apply(params[f"attn{gi}"], seq, tar,
-                                             mask))
-            parts.append(tar)
-        x = jnp.concatenate(parts, axis=-1)
+            y, st = din_attention_scores(
+                params[f"attn{gi}"], state.get(f"attn{gi}", {}), seq, tar,
+                train=train, is_bn=cfg.is_bn, bn_decay=cfg.bn_decay)
+            if st:
+                new_state[f"attn{gi}"] = st
+            for user_feat, _ in cfg.attention_pairs[gi]:
+                wts_override[user_feat] = y.astype(jnp.float32)
+        x = self._cast(embedding_combiner(params["emb"], batch, cfg,
+                                          engine=self.engine,
+                                          combiner="sum",
+                                          wts_override=wts_override))
         y, st = mlp_apply(params["mlp"], state.get("mlp", {}), x,
                           keep_probs=cfg.dropout, train=train,
                           is_bn=cfg.is_bn, is_dropout=cfg.is_dropout,
                           bn_decay=cfg.bn_decay, rng=rng)
-        return self._f32(y), ({"mlp": st} if st else {})
+        if st:
+            new_state["mlp"] = st
+        return self._f32(y), new_state
 
 
 # ---------------------------------------------------------------------------
@@ -225,33 +279,40 @@ class DIN(BaseModel):
 
 
 def gru_init(rng, in_dim: int, hidden: int, dtype=jnp.float32) -> Params:
+    """TF GRUCell layout (one [x∥h] kernel per block): ``gates`` maps to
+    2*hidden (r, u) with bias init 1.0, ``cand`` to hidden with bias 0 —
+    matching tensorflow.python.ops.rnn_cell.GRUCell and the reference's
+    VecAttGRUCell (dien_utils.pyc ``call``: _Linear bias_ones)."""
     g = glorot_uniform()
-    keys = jax.random.split(rng, 3)
-    def gate(k):
-        return {"wx": g(k, (in_dim, hidden), dtype),
-                "wh": g(jax.random.fold_in(k, 1), (hidden, hidden), dtype),
-                "b": jnp.zeros((hidden,), dtype)}
-    return {"r": gate(keys[0]), "z": gate(keys[1]), "h": gate(keys[2])}
+    k0, k1 = jax.random.split(rng)
+    return {
+        "gates": {"w": g(k0, (in_dim + hidden, 2 * hidden), dtype),
+                  "b": jnp.ones((2 * hidden,), dtype)},
+        "cand": {"w": g(k1, (in_dim + hidden, hidden), dtype),
+                 "b": jnp.zeros((hidden,), dtype)},
+    }
 
 
-def _gru_cell(params, h, x, update_scale=None):
-    def gate(p, act, hh):
-        return act(jnp.dot(x, p["wx"].astype(x.dtype))
-                   + jnp.dot(hh, p["wh"].astype(x.dtype))
-                   + p["b"].astype(x.dtype))
-    r = gate(params["r"], jax.nn.sigmoid, h)
-    z = gate(params["z"], jax.nn.sigmoid, h)
-    hbar = gate(params["h"], jnp.tanh, r * h)
-    if update_scale is not None:  # AUGRU: attention scales the update gate
-        z = z * update_scale[:, None]
-    return (1.0 - z) * h + z * hbar
+def _gru_cell(params, h, x, att_score=None):
+    """TF GRU step: new_h = u*h + (1-u)*c.  With ``att_score`` (AUGRU,
+    dien_utils.pyc VecAttGRUCell.call): u <- (1 - att)*u first."""
+    xh = jnp.concatenate([x, h], axis=-1)
+    ru = jax.nn.sigmoid(jnp.dot(xh, params["gates"]["w"].astype(x.dtype))
+                        + params["gates"]["b"].astype(x.dtype))
+    r, u = jnp.split(ru, 2, axis=-1)
+    xrh = jnp.concatenate([x, r * h], axis=-1)
+    c = jnp.tanh(jnp.dot(xrh, params["cand"]["w"].astype(x.dtype))
+                 + params["cand"]["b"].astype(x.dtype))
+    if att_score is not None:
+        u = (1.0 - att_score[:, None]) * u
+    return u * h + (1.0 - u) * c
 
 
 def gru_scan(params, seq, mask, update_scales=None):
     """Run (AU)GRU over [B, L, D]; returns final hidden [B, H] and all
     states [B, L, H]; padded steps hold the previous state."""
     B, L, D = seq.shape
-    H = params["h"]["wh"].shape[0]
+    H = params["cand"]["w"].shape[1]
     h0 = jnp.zeros((B, H), seq.dtype)
 
     def step(h, inputs):
@@ -260,7 +321,7 @@ def gru_scan(params, seq, mask, update_scales=None):
             h_new = _gru_cell(params, h, x)
         else:
             x, m, a = inputs
-            h_new = _gru_cell(params, h, x, update_scale=a)
+            h_new = _gru_cell(params, h, x, att_score=a)
         h = jnp.where(m[:, None] > 0, h_new, h)
         return h, h
 
@@ -271,28 +332,85 @@ def gru_scan(params, seq, mask, update_scales=None):
     return h_final, states.transpose(1, 0, 2)
 
 
+def prelu_init(dim: int, dtype=jnp.float32) -> Params:
+    """dien_utils.pyc ``prelu``: per-channel alpha, init 0.1."""
+    return {"alpha": jnp.full((dim,), 0.1, dtype)}
+
+
+def prelu_apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    a = params["alpha"].astype(x.dtype)
+    return jnp.maximum(0.0, x) + a * jnp.minimum(0.0, x)
+
+
+DIEN_ATTENTION_UNITS = (80, 40)  # dien_utils.pyc attention: f1_att/f2_att
+
+
+def dien_attention_init(rng, q_dim: int, h: int, dtype=jnp.float32):
+    """dien_utils.pyc ``attention``: query proj ('f1', tf.layers.dense ->
+    glorot kernel, zero bias) + prelu, then the [q, f, q-f, q*f] MLP
+    80 sigmoid -> 40 sigmoid -> 1 identity (same dense defaults)."""
+    g = glorot_uniform()
+    keys = jax.random.split(rng, 4)
+    sizes = (4 * h,) + DIEN_ATTENTION_UNITS + (1,)
+    params: Params = {
+        "f1": dense_init(keys[0], q_dim, h, w_init=g, bias_init=0.0,
+                         dtype=dtype),
+        "prelu": prelu_init(h, dtype),
+    }
+    for i in range(3):
+        params[f"att{i}"] = dense_init(keys[1 + i], sizes[i], sizes[i + 1],
+                                       w_init=g, bias_init=0.0, dtype=dtype)
+    return params
+
+
+def dien_attention_apply(params: Params, query, facts, mask) -> jnp.ndarray:
+    """Masked-softmax attention scores [B, L] over GRU states
+    (dien_utils.pyc ``attention`` with softmax_stag=1; paddings are
+    -(2^32 - 1), and the softmax output is NOT re-masked)."""
+    B, L, H = facts.shape
+    q = prelu_apply(params["prelu"], dense_apply(params["f1"], query))
+    qs = jnp.broadcast_to(q[:, None, :], (B, L, H))
+    din_all = jnp.concatenate([qs, facts, qs - facts, qs * facts], axis=-1)
+    y = din_all.reshape(B * L, 4 * H)
+    y = jax.nn.sigmoid(dense_apply(params["att0"], y))
+    y = jax.nn.sigmoid(dense_apply(params["att1"], y))
+    y = dense_apply(params["att2"], y).reshape(B, L)
+    scores = jnp.where(mask > 0, y, jnp.asarray(NEG_INF, y.dtype))
+    return jax.nn.softmax(scores, axis=-1)
+
+
 class DIEN(BaseModel):
-    """Deep Interest Evolution Network (reference model_type 'dien')."""
+    """Deep Interest Evolution Network (reference model_type 'dien').
+
+    Reconstructed from bytecode evidence (dien.pyc / dien_utils.pyc /
+    dien_rnn.pyc): per attention group, GRU(16) interest extraction ->
+    MLP attention (query = target embedding, facts = GRU states, softmax)
+    -> VecAttGRU(16) evolution whose final state joins the trunk; pooled
+    features use the mean combiner and SKIP the attention-pair user
+    features (dien.pyc ``embedding_combiner``); the auxiliary loss
+    defined in dien_utils.pyc is dead code in the reference (dien_core
+    never calls it) and is not reproduced.
+    """
 
     name = "dien"
+    hidden_size = 16          # dien.pyc __init__ consts
 
     def _input_dim(self):
-        d = combiner_dim(self.cfg, skip_seq=True)
-        for gi in range(len(self.cfg.attention_pairs)):
-            d += seq_input_dim(self.cfg, gi) * 2  # final AUGRU state + target
-        return d
+        return (combiner_dim(self.cfg, skip_seq=True)
+                + self.hidden_size * len(self.cfg.attention_pairs))
 
     def init(self, rng):
         from ..nn.embedding import collection_init
         n = len(self.cfg.attention_pairs)
+        h = self.hidden_size
         keys = jax.random.split(rng, 3 * n + 2)
         params = {"emb": self._emb_init(keys[0], self.cfg.embeddings)}
         for gi in range(n):
             d = seq_input_dim(self.cfg, gi)
-            params[f"gru{gi}"] = gru_init(keys[1 + 3 * gi], d, d, self.dtype)
-            params[f"augru{gi}"] = gru_init(keys[2 + 3 * gi], d, d, self.dtype)
-            params[f"attn{gi}"] = {
-                "w": glorot_uniform()(keys[3 + 3 * gi], (d, d), self.dtype)}
+            params[f"gru{gi}"] = gru_init(keys[1 + 3 * gi], d, h, self.dtype)
+            params[f"augru{gi}"] = gru_init(keys[2 + 3 * gi], h, h, self.dtype)
+            params[f"attn{gi}"] = dien_attention_init(
+                keys[3 + 3 * gi], d, h, self.dtype)
         mlp, st = mlp_init(keys[-1], self._input_dim(), self.cfg.hidden_units,
                            self.cfg.output_units, is_bn=self.cfg.is_bn,
                            out_bias_init=0.0, dtype=self.dtype)
@@ -308,18 +426,14 @@ class DIEN(BaseModel):
             seq, tar, mask = _group_embeddings(params["emb"], batch, cfg, gi,
                                                self.engine)
             seq, tar = self._cast(seq), self._cast(tar)
-            # interest extraction
+            # interest extraction (rnn_1, GRUCell(16))
             _, states = gru_scan(params[f"gru{gi}"], seq, mask)
-            # attention scores: softmax(h W t)
-            w = params[f"attn{gi}"]["w"].astype(seq.dtype)
-            scores = jnp.einsum("blh,hd,bd->bl", states, w, tar)
-            scores = jnp.where(mask > 0, scores, NEG_INF)
-            alphas = jax.nn.softmax(scores, axis=-1) * mask.astype(seq.dtype)
-            # interest evolution
+            alphas = dien_attention_apply(params[f"attn{gi}"], tar, states,
+                                          mask)
+            # interest evolution (rnn_2, VecAttGRUCell(16))
             h_final, _ = gru_scan(params[f"augru{gi}"], states, mask,
                                   update_scales=alphas)
             parts.append(h_final)
-            parts.append(tar)
         x = jnp.concatenate(parts, axis=-1)
         y, st = mlp_apply(params["mlp"], state.get("mlp", {}), x,
                           keep_probs=cfg.dropout, train=train,

@@ -65,12 +65,22 @@ def _attention_user_features(cfg: DMTConfig) -> frozenset[str]:
 def embedding_combiner(emb: Params, batch: dict, cfg: DMTConfig, *,
                        skip_seq: bool = False,
                        engine: EmbeddingEngine = DENSE_ENGINE,
-                       seq_cache: Optional[dict] = None) -> jnp.ndarray:
-    """[dense features ∥ mean-pooled embedding per spec ∥ sim crosses].
+                       seq_cache: Optional[dict] = None,
+                       combiner: str = "mean",
+                       wts_override: Optional[dict] = None) -> jnp.ndarray:
+    """[dense features ∥ pooled embedding per spec ∥ sim crosses].
 
     ``skip_seq`` reproduces the single-sequence transformer model's
     override that excludes attention-pair user features from pooling
     (reference transformer.py:171-220).
+
+    ``combiner``/``wts_override`` reproduce the reference combiner's
+    ``combiner_type`` and per-feature ``Wts`` injection
+    (base.py:93-116): DIN pools with combiner_type="sum" and replaces the
+    attention-pair user features' weights with its raw attention scores
+    (din.pyc ``embedding_din_weight_calc``, bytecode-only module).
+    Override weights are [B, L] per-element values; padded slots are
+    dropped by the pooling presence mask.
     """
     parts = []
     if cfg.is_use_feature:
@@ -87,17 +97,18 @@ def embedding_combiner(emb: Params, batch: dict, cfg: DMTConfig, *,
             # bucket bound = LOGICAL rows (spec.id_size); the physical
             # table may be lane-packed (nn/embedding.pack_table)
             ids = ts_bucketize(ids, spec.id_size)
+        wts = (wts_override[spec.feature]
+               if wts_override and spec.feature in wts_override
+               else feature_wts(batch, spec.feature, ids))
         if seq_cache is not None and spec.feature in seq_cache:
             from ..nn.embedding import pooled_from_grid
             pooled = pooled_from_grid(
-                seq_cache[spec.feature],
-                feature_wts(batch, spec.feature, ids),
-                batch[spec.feature + LEN])
+                seq_cache[spec.feature], wts,
+                batch[spec.feature + LEN], combiner)
         else:
             pooled = engine.pooled(
-                spec.table, emb[spec.table], ids,
-                feature_wts(batch, spec.feature, ids),
-                batch[spec.feature + LEN])
+                spec.table, emb[spec.table], ids, wts,
+                batch[spec.feature + LEN], combiner)
         if spec.feature in sim_wanted:
             sim_pool[spec.feature] = pooled
         parts.append(pooled)

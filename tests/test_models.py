@@ -229,3 +229,89 @@ class TestGateIntrospection:
         # softmax rows sum to 1
         np.testing.assert_allclose(np.asarray(gates).sum(-1),
                                    np.ones((2, B)), rtol=1e-5)
+
+
+@needs_demo_data
+class TestDinDienBytecodeParity:
+    """Semantics reconstructed from the reference's bytecode-only modules
+    (scripts/pyc36_dis.py over model/net/__pycache__/*.cpython-36.pyc)."""
+
+    def test_din_raw_scores_become_sum_weights(self, demo_batch):
+        """DIN pools attention-pair user features with its RAW scaled
+        scores as sum-combiner weights (din.pyc embedding_din_weight_calc:
+        no softmax; embedding_din: combiner_type='sum')."""
+        from cikm2020_dmt_tpu.data.pipeline import IDS, LEN
+        from cikm2020_dmt_tpu.models.baselines import (_group_embeddings,
+                                                       din_attention_scores)
+        from cikm2020_dmt_tpu.models.components import embedding_combiner
+
+        cfg, model = _build("din")
+        params, state = model.init(jax.random.PRNGKey(0))
+        seq, tar, mask = _group_embeddings(params["emb"], demo_batch, cfg, 0,
+                                           model.engine)
+        y, _ = din_attention_scores(params["attn0"], {}, seq, tar,
+                                    train=False)
+        # scores differ across elements (not degenerate)
+        assert float(jnp.std(y)) > 0
+
+        user_feat = cfg.attention_pairs[0][0][0]
+        spec = next(s for s in cfg.embeddings if s.feature == user_feat)
+        grid = model.engine.seq(spec.table, params["emb"][spec.table],
+                                demo_batch[user_feat + IDS], cfg.zero_pad)
+        lens = demo_batch[user_feat + LEN]
+        pos = np.arange(grid.shape[1])[None, :]
+        m = (pos < np.asarray(lens)[:, None]).astype(np.float32)
+        want = np.einsum("bl,bld->bd", np.asarray(y) * m, np.asarray(grid))
+
+        override = {}
+        for gi, grp in enumerate(cfg.attention_pairs):
+            sq, tr, _ = _group_embeddings(params["emb"], demo_batch, cfg, gi,
+                                          model.engine)
+            yg, _ = din_attention_scores(params[f"attn{gi}"], {}, sq, tr,
+                                         train=False)
+            for u, _ in grp:
+                override[u] = yg
+        out = embedding_combiner(params["emb"], demo_batch, cfg,
+                                 engine=model.engine, combiner="sum",
+                                 wts_override=override)
+        off = cfg.feature_dimension if cfg.is_use_feature else 0
+        for s in cfg.embeddings:
+            if s.feature == user_feat:
+                break
+            off += s.dim
+        np.testing.assert_allclose(np.asarray(out)[:, off:off + spec.dim],
+                                   want, rtol=1e-4, atol=1e-5)
+
+    def test_gru_cell_tf_semantics(self):
+        """TF GRUCell convention (dien_utils.pyc VecAttGRUCell.call):
+        new_h = u*h + (1-u)*c with gate bias init 1.0; AUGRU scales
+        u <- (1-att)*u, so att=1 forces new_h == candidate."""
+        from cikm2020_dmt_tpu.models.baselines import _gru_cell, gru_init
+        rng = jax.random.PRNGKey(7)
+        p = gru_init(rng, 4, 3)
+        assert np.allclose(np.asarray(p["gates"]["b"]), 1.0)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 4))
+        h = jax.random.normal(jax.random.PRNGKey(2), (2, 3))
+        xh = np.concatenate([np.asarray(x), np.asarray(h)], -1)
+        ru = 1 / (1 + np.exp(-(xh @ np.asarray(p["gates"]["w"]) + 1.0)))
+        r, u = ru[:, :3], ru[:, 3:]
+        xrh = np.concatenate([np.asarray(x), r * np.asarray(h)], -1)
+        c = np.tanh(xrh @ np.asarray(p["cand"]["w"]))
+        np.testing.assert_allclose(np.asarray(_gru_cell(p, h, x)),
+                                   u * np.asarray(h) + (1 - u) * c,
+                                   rtol=1e-5, atol=1e-6)
+        att1 = jnp.ones((2,))
+        np.testing.assert_allclose(np.asarray(_gru_cell(p, h, x, att1)), c,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_dien_attention_masked_softmax(self):
+        from cikm2020_dmt_tpu.models.baselines import (dien_attention_apply,
+                                                       dien_attention_init)
+        p = dien_attention_init(jax.random.PRNGKey(0), q_dim=8, h=16)
+        q = jax.random.normal(jax.random.PRNGKey(1), (3, 8))
+        f = jax.random.normal(jax.random.PRNGKey(2), (3, 5, 16))
+        mask = jnp.asarray([[1, 1, 0, 0, 0], [1, 1, 1, 1, 1], [1, 0, 0, 0, 0]],
+                           jnp.float32)
+        a = np.asarray(dien_attention_apply(p, q, f, mask))
+        np.testing.assert_allclose(a.sum(-1), np.ones(3), rtol=1e-5)
+        assert (a[0, 2:] < 1e-6).all() and (a[2, 1:] < 1e-6).all()
