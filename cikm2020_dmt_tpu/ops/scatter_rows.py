@@ -516,6 +516,13 @@ def _gather_dedup_bwd(num_unique, res, g):
 gather_dedup.defvjp(_gather_dedup_fwd, _gather_dedup_bwd)
 
 
+def _dma_grid_gather_wanted(rows_ext: jnp.ndarray) -> bool:
+    import os
+    return (os.environ.get("DMT_DMA_GRID_GATHER", "0") == "1"
+            and jax.default_backend() == "tpu"
+            and rows_ext.shape[-1] % 128 == 0)
+
+
 @jax.custom_vjp
 def take_rows_sparse(rows_ext: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     """``rows_ext[pos]`` whose backward is ONE segment-sum into the
@@ -525,7 +532,12 @@ def take_rows_sparse(rows_ext: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     every union element to its unique-row slot, so the cotangent
     accumulator is budget-sized (fits VMEM for the default budget) rather
     than table-sized, and out-of-range slots are impossible by
-    construction.  The forward is a plain row gather."""
+    construction.  The forward is a plain row gather; on TPU,
+    DMT_DMA_GRID_GATHER=1 swaps in the per-row DMA kernel (gather_rows),
+    which is immune to the memory-space-assignment staging that slows
+    XLA's in-step gather."""
+    if pos.ndim == 1 and _dma_grid_gather_wanted(rows_ext):
+        return gather_rows(rows_ext, pos)
     return jnp.take(rows_ext, pos, axis=0, mode="clip")
 
 
