@@ -343,6 +343,145 @@ def gather_rows(table: jnp.ndarray, ids: jnp.ndarray,
     return out[:n]
 
 
+def _sorted_segsum_kernel(seg_smem, seg_vmem, g_ref, zero_ref, out_hbm,
+                          loc_ref, carry_ref, cseg_ref, sem,
+                          *, chunk: int, nsteps: int):
+    """One sequential grid step = one chunk of the SORTED cotangent stream.
+
+    Per chunk: local run sums via a one-hot MXU matmul over the chunk's
+    relative run ids (dense runs -> rel in [0, chunk)); the previous
+    chunk's trailing (possibly incomplete) run carries over in VMEM
+    scratch and merges into local row 0 when it continues; one [chunk, D]
+    block DMA writes rows [s0, s0+chunk) of the output.  Later chunks
+    overwrite earlier chunks' incomplete trailing rows (grid steps are
+    sequential on TPU and each DMA waits its predecessor), so every run's
+    FINAL write is the complete sum from the chunk where it ends.  loc is
+    double-buffered so the matmul of chunk n overlaps the DMA of n-1."""
+    from jax.experimental import pallas as pl
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = pl.program_id(0)
+    slot = jax.lax.rem(n, 2)
+
+    @pl.when(n == 0)
+    def _():
+        cseg_ref[0] = -1
+
+    s0 = seg_smem[0, 0, 0]
+    last_rel = seg_smem[0, 0, chunk - 1] - s0
+
+    rel = seg_vmem[0, 0, :] - s0                          # [chunk] int32
+    g = g_ref[:]
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+          == rel[None, :]).astype(g.dtype)                # oh[k, c]
+    local = jax.lax.dot_general(
+        oh, g, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(loc_ref.dtype)
+    loc_ref[slot] = local
+
+    # trailing-run sum via masked VPU reduction (no dynamic sublane read)
+    tail = jnp.sum(jnp.where((rel == last_rel)[:, None], g, 0.0),
+                   axis=0).astype(carry_ref.dtype)        # [d]
+    cont = cseg_ref[0] == s0
+    # if the whole chunk is still the carried run, the old carry must also
+    # roll forward (it is merged into loc row 0 below, which stays partial)
+    carry_fwd = jnp.where(cont & (last_rel == 0), carry_ref[0, :], 0.0)
+
+    @pl.when(cont)
+    def _():
+        loc_ref[slot, 0, :] += carry_ref[0, :]
+
+    carry_ref[0, :] = tail + carry_fwd
+    cseg_ref[0] = s0 + last_rel
+
+    # write AFTER the previous chunk's (potentially overlapping) write;
+    # seg_smem row layout is [1, 1, chunk+1]: this chunk's segs plus the
+    # PREVIOUS chunk's s0 at the tail (only the byte count matters for the
+    # wait, but keep the descriptor exact)
+    @pl.when(n > 0)
+    def _():
+        pltpu.make_async_copy(
+            loc_ref.at[1 - slot],
+            out_hbm.at[pl.ds(seg_smem[0, 0, chunk], chunk)],
+            sem.at[1 - slot]).wait()
+    pltpu.make_async_copy(loc_ref.at[slot], out_hbm.at[pl.ds(s0, chunk)],
+                          sem.at[slot]).start()
+
+    @pl.when(n == nsteps - 1)
+    def _():
+        pltpu.make_async_copy(loc_ref.at[slot], out_hbm.at[pl.ds(s0, chunk)],
+                              sem.at[slot]).wait()
+
+
+def sorted_segment_sum_rows(g_sorted: jnp.ndarray, seg: jnp.ndarray,
+                            num_out: int, chunk: int = 256,
+                            interpret: bool = False) -> jnp.ndarray:
+    """``segment_sum(g_sorted, seg, num_segments=num_out)`` for a
+    NONDECREASING, DENSE ``seg`` (every value in [0, seg[-1]] occurs) as a
+    streaming Pallas kernel — no serialized scatter-add anywhere.
+
+    Replaces the lazy-Adam backward's XLA segment_sum (train/lazy.py),
+    which device traces put at ~4.2 ms/step for N=291k rows against a
+    ~0.4 ms bandwidth floor: XLA lowers it to a per-row read-modify-write
+    scatter.  Here each run's sum is built on the MXU (chunked one-hot
+    dot), runs that straddle chunk boundaries carry over in VMEM, and
+    output rows stream out as [chunk, D] block DMAs.  Cost scales as
+    N*chunk*D MXU FLOPs + 2 passes of HBM bandwidth.
+
+    Requires D % 128 == 0.  Slots never named by ``seg`` stay zero."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = g_sorted.shape
+    assert d % 128 == 0, g_sorted.shape
+    npad = ((n + chunk - 1) // chunk) * chunk
+    if npad != n:
+        g_sorted = jnp.pad(g_sorted, ((0, npad - n), (0, 0)))
+        seg = jnp.pad(seg, (0, npad - n), mode="edge")
+    nsteps = npad // chunk
+    seg = seg.astype(jnp.int32)
+    # SMEM layout [nsteps, 1, chunk+1]: chunk segs + PREV chunk's s0 (the
+    # wait-side DMA must re-derive the previous destination offset)
+    prev_s0 = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               seg[:-chunk:chunk] if nsteps > 1
+                               else jnp.zeros((0,), jnp.int32)])
+    seg_smem = jnp.concatenate(
+        [seg.reshape(nsteps, chunk), prev_s0[:, None]], axis=1)
+    seg_smem = seg_smem.reshape(nsteps, 1, chunk + 1)
+    seg_vmem = seg.reshape(nsteps, 1, chunk)
+    # output over-allocated by one chunk: the last block write spans
+    # [s0_last, s0_last + chunk); zeros-alias pre-clears slots no chunk
+    # covers (budget > unique runs)
+    zeros = jnp.zeros((num_out + chunk, d), g_sorted.dtype)
+
+    kernel = functools.partial(_sorted_segsum_kernel, chunk=chunk,
+                               nsteps=nsteps)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk + 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
+            pl.BlockSpec((chunk, d), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((num_out + chunk, d), g_sorted.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, d), g_sorted.dtype),
+            pltpu.VMEM((8, d), g_sorted.dtype),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(seg_smem, seg_vmem, g_sorted, zeros)
+    return out[:num_out]
+
+
 def scatter_add_rows(ids: jnp.ndarray, rows: jnp.ndarray, num_rows: int,
                      interpret: bool = False) -> jnp.ndarray:
     """Drop-in for ``jnp.zeros((num_rows, D)).at[ids].add(rows)`` built from
@@ -554,6 +693,52 @@ def _take_rows_sparse_bwd(res, g):
 
 
 take_rows_sparse.defvjp(_take_rows_sparse_fwd, _take_rows_sparse_bwd)
+
+
+def _dma_bwd_wanted(d: int) -> bool:
+    import os
+    return (os.environ.get("DMT_DMA_BWD", "0") == "1"
+            and jax.default_backend() == "tpu" and d % 128 == 0)
+
+
+@jax.custom_vjp
+def take_rows_sparse_sorted(rows_ext: jnp.ndarray, pos: jnp.ndarray,
+                            order: jnp.ndarray,
+                            seg_sorted: jnp.ndarray) -> jnp.ndarray:
+    """``take_rows_sparse`` variant for callers that already hold the sort
+    structure (train/lazy.collect): ``order`` is the permutation sorting
+    the N elements by id, ``seg_sorted`` the nondecreasing dense run index
+    per SORTED element (capped at num_slots-1 for budget overflow), with
+    pos[order[r]] == seg_sorted[r].
+
+    Backward on TPU (DMT_DMA_BWD=1): reorder the cotangent rows with the
+    per-row DMA gather, then reduce contiguous runs with the streaming
+    sorted_segment_sum_rows kernel — replaces XLA's serialized
+    segment_sum scatter-add (~4.2 ms -> ~bandwidth-bound).  Elsewhere the
+    plain segment_sum backward runs."""
+    return take_rows_sparse(rows_ext, pos)
+
+
+def _take_rows_sparse_sorted_fwd(rows_ext, pos, order, seg_sorted):
+    out = take_rows_sparse(rows_ext, pos)
+    return out, (pos, order, seg_sorted, rows_ext.shape[0])
+
+
+def _take_rows_sparse_sorted_bwd(res, g):
+    pos, order, seg_sorted, num_slots = res
+    d = g.shape[-1]
+    gf = g.reshape(-1, d)
+    if _dma_bwd_wanted(d):
+        g_sorted = gather_rows(gf, order)
+        g_rows = sorted_segment_sum_rows(g_sorted, seg_sorted, num_slots)
+    else:
+        g_rows = jax.ops.segment_sum(gf, pos.reshape(-1),
+                                     num_segments=num_slots)
+    return g_rows, None, None, None
+
+
+take_rows_sparse_sorted.defvjp(_take_rows_sparse_sorted_fwd,
+                               _take_rows_sparse_sorted_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -56,7 +56,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import DMTConfig
-from ..ops.scatter_rows import take_rows_sparse
+from ..ops.scatter_rows import take_rows_sparse_sorted
 
 
 @dataclass(frozen=True)
@@ -77,6 +77,8 @@ class LazyCollection:
     offsets: dict           # id(ids_array) -> (offset, numel)
     rphys: int
     overflow: jnp.ndarray = None  # scalar: unique ids beyond the U budget
+    order: jnp.ndarray = None     # [N] element index per sorted position
+    seg_sorted: jnp.ndarray = None  # [N] capped run id per sorted position
 
 
 @dataclass
@@ -172,7 +174,8 @@ def collect(spec: LazyTableSpec, batch: dict, table: jnp.ndarray,
     # tune dedup_budget_div down from the conservative default safely
     nuniq = jnp.sum(first.astype(jnp.int32))
     overflow = jnp.maximum(nuniq - jnp.int32(U), 0)
-    return LazyCollection(uids, pos, rows, offsets, rphys, overflow)
+    return LazyCollection(uids, pos, rows, offsets, rphys, overflow,
+                          order, seg_ext)
 
 
 def make_overlay(spec: LazyTableSpec, col: LazyCollection,
@@ -182,7 +185,8 @@ def make_overlay(spec: LazyTableSpec, col: LazyCollection,
     gather shared by every site."""
     rows_ext = jnp.concatenate(
         [rows_diff, jnp.zeros((1, rows_diff.shape[1]), rows_diff.dtype)])
-    grid = take_rows_sparse(rows_ext, col.pos)           # [N, Dphys]
+    grid = take_rows_sparse_sorted(rows_ext, col.pos, col.order,
+                                   col.seg_sorted)       # [N, Dphys]
     return LazyOverlay(grid, col.offsets, spec.pack, spec.dim)
 
 

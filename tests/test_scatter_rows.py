@@ -137,3 +137,73 @@ class TestTakeOnehot:
         g = jax.grad(f)(table)
         assert g.dtype == jnp.float32
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestSortedSegsum:
+    def _ref(self, g, seg, num_out):
+        out = np.zeros((num_out, g.shape[1]), g.dtype)
+        np.add.at(out, seg, g)
+        return out
+
+    @pytest.mark.parametrize("case", ["uniform", "zipf", "one_run",
+                                      "boundary", "capped", "ragged"])
+    def test_matches_segment_sum(self, rng, case):
+        from cikm2020_dmt_tpu.ops.scatter_rows import sorted_segment_sum_rows
+        d, chunk = 128, 64
+        if case == "uniform":
+            n, runs = 1000, 300
+        elif case == "zipf":
+            n, runs = 2000, 50
+        elif case == "one_run":
+            n, runs = 500, 1
+        elif case == "boundary":
+            n, runs = 4 * chunk, 4   # run flips exactly at chunk edges
+        elif case == "capped":
+            n, runs = 1000, 200
+        else:
+            n, runs = 777, 120       # n not a chunk multiple
+        if case == "boundary":
+            seg = np.repeat(np.arange(4), chunk).astype(np.int32)
+        elif case == "zipf":
+            draws = np.minimum(rng.zipf(1.3, n) - 1, runs - 1)
+            seg = np.sort(draws).astype(np.int32)
+            seg = np.cumsum(np.diff(seg, prepend=seg[0]) > 0).astype(np.int32)
+        else:
+            # dense nondecreasing run ids with every value present
+            cuts = np.sort(rng.choice(np.arange(1, n), runs - 1,
+                                      replace=False)) if runs > 1 else []
+            seg = np.zeros(n, np.int32)
+            seg[list(cuts)] = 1
+            seg = np.cumsum(seg).astype(np.int32)
+        num_out = int(seg.max()) + 1
+        if case == "capped":
+            num_out += 37            # budget beyond runs: tail stays zero
+        g = rng.normal(size=(n, d)).astype(np.float32)
+        got = sorted_segment_sum_rows(jnp.asarray(g), jnp.asarray(seg),
+                                      num_out, chunk=chunk, interpret=True)
+        np.testing.assert_allclose(np.asarray(got),
+                                   self._ref(g, seg, num_out),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_sorted_vjp_matches_plain(self, rng):
+        from cikm2020_dmt_tpu.ops.scatter_rows import (take_rows_sparse,
+                                                       take_rows_sparse_sorted)
+        U, N, D = 40, 300, 128
+        ids = rng.integers(0, 60, N).astype(np.int32)
+        order = np.argsort(ids, kind="stable").astype(np.int32)
+        sids = ids[order]
+        first = np.concatenate([[True], sids[1:] != sids[:-1]])
+        seg = (np.cumsum(first) - 1).astype(np.int32)
+        seg = np.minimum(seg, U)                     # budget cap -> slot U
+        pos = np.empty(N, np.int32)
+        pos[order] = seg
+        rows_ext = rng.normal(size=(U + 1, D)).astype(np.float32)
+
+        def f(fn, *extra):
+            return lambda r: jnp.sum(jnp.sin(fn(r, jnp.asarray(pos), *extra)))
+
+        g1 = jax.grad(f(take_rows_sparse))(jnp.asarray(rows_ext))
+        g2 = jax.grad(f(take_rows_sparse_sorted, jnp.asarray(order),
+                        jnp.asarray(seg)))(jnp.asarray(rows_ext))
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-6)
