@@ -276,11 +276,66 @@ def mmoe_init(rng, in_dim: int, cfg: DMTConfig, num_tasks: int = 2,
     return params, state
 
 
+def _mmoe_experts_stacked(params: Params, x: jnp.ndarray, cfg: DMTConfig,
+                          *, train: bool, rng) -> jnp.ndarray:
+    """All experts in batched matmuls -> [B, H, E].
+
+    Math-identical to the per-expert loop (each output column/batch slice
+    is an independent dot product), but the backward's input cotangent is
+    ONE [B, in] matmul instead of num_experts accumulated ones: device
+    traces showed the per-expert dx chain writing E+T separate
+    [4096, 1199] bf16 buffers + an add_any reduction chain (~5.5 ms/step
+    at batch 4096).  Layer 0 concatenates the experts' kernels along the
+    output dim; deeper layers run one batched einsum over the expert
+    axis, whose dx slices are disjoint (no reduction chain)."""
+    from ..nn.layers import dropout_keep
+    E = len(params["experts"])
+    nlayers = len(cfg.hidden_units_bottom)
+    keys = _split(rng, nlayers) if rng is not None else [None] * nlayers
+    w0 = jnp.concatenate(
+        [p["layer0"]["dense"]["w"] for p in params["experts"]], axis=1)
+    b0 = jnp.concatenate(
+        [p["layer0"]["dense"]["b"] for p in params["experts"]])
+    y = jax.nn.relu(jnp.dot(x, w0.astype(x.dtype)) + b0.astype(x.dtype))
+    y = y.reshape(x.shape[0], E, -1)                       # [B, E, H0]
+
+    def maybe_dropout(y, i):
+        kp = (cfg.dropout_bottom[i]
+              if i < len(cfg.dropout_bottom) else 1.0)
+        if cfg.is_dropout and train and kp < 1.0 and keys[i] is not None:
+            return dropout_keep(keys[i], y, kp, deterministic=False)
+        return y
+
+    y = maybe_dropout(y, 0)
+    for i in range(1, nlayers):
+        wi = jnp.stack(
+            [p[f"layer{i}"]["dense"]["w"] for p in params["experts"]])
+        bi = jnp.stack(
+            [p[f"layer{i}"]["dense"]["b"] for p in params["experts"]])
+        y = jax.nn.relu(jnp.einsum("beh,ehk->bek", y, wi.astype(y.dtype))
+                        + bi[None].astype(y.dtype))
+        y = maybe_dropout(y, i)
+    return y.transpose(0, 2, 1)                            # [B, H, E]
+
+
 def mmoe_apply(params: Params, state: State, x: jnp.ndarray, cfg: DMTConfig,
                *, train: bool, rng: Optional[jax.Array] = None
                ) -> tuple[list[jnp.ndarray], State]:
     """Per-task mixture outputs [B, hidden_bottom[-1]] x num_tasks."""
     n_exp = len(params["experts"])
+    if not cfg.is_bn:
+        # stacked fast path (batch-norm state forces the per-expert loop)
+        experts = _mmoe_experts_stacked(params, x, cfg, train=train, rng=rng)
+        # both task gates in one matmul: the per-gate rank-E dx otherwise
+        # writes another full [B, in] cotangent buffer each
+        wg = jnp.concatenate([g["w"] for g in params["gates"]], axis=1)
+        bg = jnp.concatenate([g["b"] for g in params["gates"]])
+        gz = (jnp.dot(x, wg.astype(x.dtype)) + bg.astype(x.dtype)
+              ).reshape(x.shape[0], len(params["gates"]), n_exp)
+        gates = jax.nn.softmax(gz, axis=-1)                # [B, T, E]
+        outs = [jnp.einsum("bhe,be->bh", experts, gates[:, t])
+                for t in range(len(params["gates"]))]
+        return outs, {}
     keys = _split(rng, n_exp) if rng is not None else [None] * n_exp
     expert_outs, new_state = [], {"experts": []}
     est = state.get("experts", [{}] * n_exp)
@@ -296,8 +351,6 @@ def mmoe_apply(params: Params, state: State, x: jnp.ndarray, cfg: DMTConfig,
     for gate in params["gates"]:
         g = jax.nn.softmax(dense_apply(gate, x), axis=-1)  # [B, E]
         outs.append(jnp.einsum("bhe,be->bh", experts, g))
-    if not cfg.is_bn:
-        new_state = {}
     return outs, new_state
 
 

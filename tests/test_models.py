@@ -315,3 +315,28 @@ class TestDinDienBytecodeParity:
         a = np.asarray(dien_attention_apply(p, q, f, mask))
         np.testing.assert_allclose(a.sum(-1), np.ones(3), rtol=1e-5)
         assert (a[0, 2:] < 1e-6).all() and (a[2, 1:] < 1e-6).all()
+
+
+class TestMMoEStackedParity:
+    def test_stacked_matches_expert_loop(self):
+        """The batched expert path must equal per-expert mlp_apply
+        (same kernels, concatenated/stacked) with dropout off."""
+        from cikm2020_dmt_tpu.models import components as C
+
+        cfg = make_demo_config(is_dropout=False)
+        assert not cfg.is_bn
+        params, state = C.mmoe_init(jax.random.PRNGKey(3), 64, cfg)
+        x = jax.random.normal(jax.random.PRNGKey(4), (16, 64))
+        fast, _ = C.mmoe_apply(params, state, x, cfg, train=True)
+
+        outs = []
+        from cikm2020_dmt_tpu.nn.layers import dense_apply, mlp_apply
+        exp = [mlp_apply(p, {}, x, train=True, is_bn=False,
+                         is_dropout=False)[0] for p in params["experts"]]
+        experts = jnp.stack(exp, axis=-1)
+        for gate in params["gates"]:
+            g = jax.nn.softmax(dense_apply(gate, x), axis=-1)
+            outs.append(jnp.einsum("bhe,be->bh", experts, g))
+        for a, b in zip(fast, outs):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
