@@ -98,9 +98,13 @@ def main() -> None:
     if "--process_id" in sys.argv:
         worker(int(sys.argv[sys.argv.index("--process_id") + 1]))
         return
+    import tempfile
     procs = []
     env = {k: v for k, v in os.environ.items()
            if k != "PALLAS_AXON_POOL_IPS"}
+    # both processes save/restore through the same dir (multi-host jobs
+    # assume a shared checkpoint filesystem)
+    env.setdefault("SMOKE_CKPT_DIR", tempfile.mkdtemp(prefix="smoke_ckpt_"))
     for pid in range(NPROC):
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
