@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-2 TPU experiment queue — run when the axon relay is back.
+# ONE python process at a time (a killed TPU process wedges the chip claim
+# ~10 min); everything under timeout; results land in /tmp/r2x_*.log.
+#
+#   bash scripts/tpu_r2_experiments.sh
+#
+# Sequence:
+#   1. kernel correctness+timing (update_rows D128/D256, gather_rows,
+#      grid-shaped gather vs XLA take)          -> /tmp/r2x_verify.log
+#   2. bench.py default (update_rows + stacked MMoE wired in)
+#   3. bench.py DMT_DMA_GRID_GATHER=1 (A/B the take_rows_sparse forward)
+#   4. bench.py DMT_DMA_BWD=1        (A/B the sorted-segsum backward)
+#   5. bench.py with both
+#   6. trace decomposition of the winner       -> /tmp/r2x_trace.log
+set -u
+cd "$(dirname "$0")/.."
+
+run() {
+  local tag="$1"; shift
+  echo "=== $tag: $* ==="
+  timeout 2400 "$@" > "/tmp/r2x_${tag}.log" 2>&1
+  local code=$?
+  tail -6 "/tmp/r2x_${tag}.log"
+  echo "=== $tag exit=$code ==="
+  # cool-down so a timeout kill's claim wedge can expire before the next run
+  if [ $code -ne 0 ]; then echo "(sleeping 660s after failure)"; sleep 660; fi
+}
+
+run verify python scripts/verify_update_rows_tpu.py
+run bench_default python bench.py
+run bench_gg env DMT_DMA_GRID_GATHER=1 python bench.py
+run bench_bwd env DMT_DMA_BWD=1 python bench.py
+run bench_both env DMT_DMA_GRID_GATHER=1 DMT_DMA_BWD=1 python bench.py
+run trace python scripts/trace_step.py

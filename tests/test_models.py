@@ -340,3 +340,25 @@ class TestMMoEStackedParity:
         for a, b in zip(fast, outs):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
+
+
+@needs_demo_data
+class TestBaselineGrads:
+    @pytest.mark.parametrize("model_type", ["din", "dien"])
+    def test_loss_and_grads_finite(self, model_type, demo_batch):
+        cfg, model = _build(model_type)
+        params, state = model.init(jax.random.PRNGKey(0))
+
+        def loss_fn(p):
+            out, _ = model.apply(p, state, demo_batch, train=True,
+                                 rng=jax.random.PRNGKey(1))
+            return losses.single_task_loss(cfg, out, demo_batch["mask"],
+                                           demo_batch["label"], train=True)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(loss))
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+        # attention parameters receive gradient
+        g_att = jax.tree_util.tree_leaves(grads["attn0"])
+        assert sum(float(jnp.abs(g).sum()) for g in g_att) > 0
