@@ -15,7 +15,9 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
                       os.path.abspath(__file__))), ".jax_cache"))
 
-from cikm2020_dmt_tpu.ops.scatter_rows import gather_rows, update_rows
+from cikm2020_dmt_tpu.ops.scatter_rows import (gather_rows,
+                                               sorted_segment_sum_rows,
+                                               update_rows)
 
 R = 1_250_000
 U = 36_352
@@ -24,6 +26,39 @@ U = 36_352
 def main():
     rng = np.random.default_rng(0)
     print("backend:", jax.default_backend(), flush=True)
+    # --- sorted_segment_sum_rows at the lazy-backward shape ---
+    N, d = 290_816, 128
+    num_out = U + 1
+    # Zipfian run sizes capped at num_out-1 like the real seg_ext
+    draws = np.minimum(rng.zipf(1.3, N) - 1, num_out - 1)
+    seg = np.sort(draws).astype(np.int32)
+    seg = np.minimum(np.cumsum(np.diff(seg, prepend=seg[0]) > 0),
+                     num_out - 1).astype(np.int32)
+    gs = rng.normal(size=(N, d)).astype(np.float32)
+    want = np.zeros((num_out, d), np.float32)
+    np.add.at(want, seg, gs)
+    for chunk in (256, 512):
+        f = jax.jit(lambda g, s, c=chunk: sorted_segment_sum_rows(
+            g, s, num_out, chunk=c))
+        gj, sj = jnp.asarray(gs), jnp.asarray(seg)
+        out = np.asarray(f(gj, sj))
+        ok = np.allclose(out, want, rtol=1e-4, atol=1e-4)
+        print(f"segsum chunk={chunk}: correct={ok}", flush=True)
+        if ok:
+            jax.block_until_ready(f(gj, sj))
+            t0 = time.perf_counter()
+            outs = [f(gj, sj) for _ in range(20)]
+            jax.block_until_ready(outs)
+            ms = (time.perf_counter() - t0) / 20 * 1e3
+            print(f"segsum chunk={chunk}: {ms:.3f} ms", flush=True)
+    f2 = jax.jit(lambda g, s: jax.ops.segment_sum(g, s, num_segments=num_out))
+    gj, sj = jnp.asarray(gs), jnp.asarray(seg)
+    jax.block_until_ready(f2(gj, sj))
+    t0 = time.perf_counter()
+    outs = [f2(gj, sj) for _ in range(20)]
+    jax.block_until_ready(outs)
+    print(f"segsum xla segment_sum: "
+          f"{(time.perf_counter() - t0) / 20 * 1e3:.3f} ms", flush=True)
     # --- gather_rows at take_rows_sparse shape: [U+1, D] source, N ids ---
     N = 290_816
     for d in (128,):
