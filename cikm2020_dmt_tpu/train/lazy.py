@@ -250,9 +250,19 @@ def lazy_adam_rows(table: jnp.ndarray, mv: jnp.ndarray,
     # scripts/update_rows_bench.py).  The DMA kernel measures ~0.04 ms at
     # the same U and is immune to MSA's operand placement.
     if jax.default_backend() == "tpu" and table.shape[1] % 128 == 0:
+        import os
+
         from ..ops.scatter_rows import update_rows
         table = update_rows(table, uids, p_new)
-        mv = update_rows(mv, uids, mv_new)
+        # the D=2*Dphys moment write-back kernel is opt-in until verified
+        # on hardware (the D=128 table kernel compiled + verified on-chip;
+        # 256-lane rows exercise a different Mosaic slice width)
+        if os.environ.get("DMT_DMA_MV", "0") == "1":
+            mv = update_rows(mv, uids, mv_new)
+        else:
+            mv = mv.at[uids].set(mv_new, mode="drop",
+                                 indices_are_sorted=True,
+                                 unique_indices=True)
         return table, mv
     # uids is strictly ascending + unique (sentinel tail de-duplicated in
     # collect), so the scatters can skip conflict serialization

@@ -31,5 +31,6 @@ run verify python scripts/verify_update_rows_tpu.py
 run bench_default python bench.py
 run bench_gg env DMT_DMA_GRID_GATHER=1 python bench.py
 run bench_bwd env DMT_DMA_BWD=1 python bench.py
-run bench_both env DMT_DMA_GRID_GATHER=1 DMT_DMA_BWD=1 python bench.py
+run bench_mv env DMT_DMA_MV=1 python bench.py
+run bench_both env DMT_DMA_GRID_GATHER=1 DMT_DMA_BWD=1 DMT_DMA_MV=1 python bench.py
 run trace python scripts/trace_step.py
