@@ -47,6 +47,9 @@ def auc_update(state: dict, labels: jnp.ndarray, preds: jnp.ndarray,
     neg = (labels <= 0).astype(jnp.float32) * weights
     c = jnp.sum((th[None, :] < preds[:, None]).astype(jnp.int32),
                 axis=1)                                       # [B] in 0..n
+    # searchsorted-parity for NaN preds (diverged runs): NaN sorts last,
+    # i.e. above every threshold, whereas (th < NaN) is everywhere False
+    c = jnp.where(jnp.isnan(preds), n, c)
     hist = jnp.zeros((n + 1, 2), jnp.float32).at[c].add(
         jnp.stack([pos, neg], axis=-1))                       # one scatter
     tail = jnp.cumsum(hist[::-1], axis=0)[::-1]               # [n+1, 2]

@@ -136,9 +136,15 @@ class DCN(BaseModel):
 # ---------------------------------------------------------------------------
 
 
-def _group_embeddings(emb, batch, cfg, gi, engine):
+def _group_embeddings(emb, batch, cfg, gi, engine, cache=None):
     """(seq_emb [B,L,D], tar_emb [B,D], mask [B,L]) for behavior group gi,
-    same lookup rules as the transformer path (components.sequence_interest)."""
+    same lookup rules as the transformer path (components.sequence_interest).
+
+    ``cache`` (optional dict) collects the RAW un-zero-padded [B, L, D]
+    grids per feature so the pooled combiner can reuse them via its
+    seq_cache path — one gather + one backward per big-table row per step
+    instead of two (same mechanism as sequence_interest's return_cache)."""
+    from .components import zero_pad_rows
     spec_of = {s.feature: s for s in cfg.embeddings}
     group = cfg.attention_pairs[gi]
     first_user = group[0][0]
@@ -148,10 +154,17 @@ def _group_embeddings(emb, batch, cfg, gi, engine):
     seq_parts, tar_parts = [], []
     for user_feat, item_feat in group:
         uspec, ispec = spec_of[user_feat], spec_of[item_feat]
-        seq_parts.append(engine.seq(uspec.table, emb[uspec.table],
-                                    batch[user_feat + IDS], cfg.zero_pad))
-        tar = engine.seq(ispec.table, emb[ispec.table],
-                         batch[item_feat + IDS], cfg.zero_pad)
+        uids = batch[user_feat + IDS]
+        raw_u = engine.seq(uspec.table, emb[uspec.table], uids, False)
+        if cache is not None:
+            cache[user_feat] = raw_u
+        seq_parts.append(zero_pad_rows(uids, raw_u)
+                         if cfg.zero_pad else raw_u)
+        iids = batch[item_feat + IDS]
+        raw_i = engine.seq(ispec.table, emb[ispec.table], iids, False)
+        if cache is not None:
+            cache[item_feat] = raw_i
+        tar = zero_pad_rows(iids, raw_i) if cfg.zero_pad else raw_i
         tar_parts.append(tar[:, 0, :])
     return (jnp.concatenate(seq_parts, -1), jnp.concatenate(tar_parts, -1),
             mask)
@@ -249,9 +262,10 @@ class DIN(BaseModel):
         cfg = self.cfg
         new_state = {}
         wts_override = {}
+        cache: dict = {}
         for gi in range(len(cfg.attention_pairs)):
             seq, tar, mask = _group_embeddings(params["emb"], batch, cfg, gi,
-                                               self.engine)
+                                               self.engine, cache=cache)
             seq, tar = self._cast(seq), self._cast(tar)
             y, st = din_attention_scores(
                 params[f"attn{gi}"], state.get(f"attn{gi}", {}), seq, tar,
@@ -263,7 +277,8 @@ class DIN(BaseModel):
         x = self._cast(embedding_combiner(params["emb"], batch, cfg,
                                           engine=self.engine,
                                           combiner="sum",
-                                          wts_override=wts_override))
+                                          wts_override=wts_override,
+                                          seq_cache=cache))
         y, st = mlp_apply(params["mlp"], state.get("mlp", {}), x,
                           keep_probs=cfg.dropout, train=train,
                           is_bn=cfg.is_bn, is_dropout=cfg.is_dropout,
@@ -419,12 +434,19 @@ class DIEN(BaseModel):
 
     def apply(self, params, state, batch, *, train, rng=None, is_predict=False):
         cfg = self.cfg
+        cache: dict = {}
+        group_data = []
+        for gi in range(len(cfg.attention_pairs)):
+            group_data.append(_group_embeddings(params["emb"], batch, cfg,
+                                                gi, self.engine, cache=cache))
+        # item-feature grids are reused by the pooled combiner (skip_seq
+        # drops only the user features)
         parts = [self._cast(embedding_combiner(params["emb"], batch, cfg,
                                                skip_seq=True,
-                                               engine=self.engine))]
+                                               engine=self.engine,
+                                               seq_cache=cache))]
         for gi in range(len(cfg.attention_pairs)):
-            seq, tar, mask = _group_embeddings(params["emb"], batch, cfg, gi,
-                                               self.engine)
+            seq, tar, mask = group_data[gi]
             seq, tar = self._cast(seq), self._cast(tar)
             # interest extraction (rnn_1, GRUCell(16))
             _, states = gru_scan(params[f"gru{gi}"], seq, mask)

@@ -230,6 +230,9 @@ def update_rows(table: jnp.ndarray, ids: jnp.ndarray, rows: jnp.ndarray,
     n, d = rows.shape
     num_rows = table.shape[0]
     assert table.shape[1] == d and d % 128 == 0, (table.shape, rows.shape)
+    # mode="drop" parity: negative ids must be dropped too, not DMA'd to a
+    # negative row offset — fold them into the >= num_rows skip guard
+    ids = jnp.where(ids < 0, jnp.int32(num_rows), ids.astype(jnp.int32))
     chunk = 512
     npad = ((n + chunk - 1) // chunk) * chunk
     if npad != n:
@@ -318,6 +321,9 @@ def gather_rows(table: jnp.ndarray, ids: jnp.ndarray,
     n = ids.shape[0]
     num_rows, d = table.shape
     assert d % 128 == 0, table.shape
+    # mode="clip" parity on BOTH sides: the kernel clamps high ids; clamp
+    # negatives here so they read row 0 instead of out-of-bounds HBM
+    ids = jnp.maximum(ids.astype(jnp.int32), 0)
     chunk = 512
     npad = ((n + chunk - 1) // chunk) * chunk
     if npad != n:

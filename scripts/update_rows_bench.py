@@ -51,29 +51,25 @@ def xla_set(t, u, r):
 
 
 def main():
+    from cikm2020_dmt_tpu.ops.scatter_rows import update_rows
     rng = np.random.default_rng(0)
     for d in (128, 256):
         rows = jnp.asarray(rng.normal(size=(U, d)).astype(np.float32))
+        sentinel_ids = np.concatenate([
+            np.sort(rng.permutation(R)[: int(U * 0.4)]),
+            R + np.arange(U - int(U * 0.4))])
         for tag, ids in (
             ("inbounds ", np.sort(rng.permutation(R)[:U])),
-            ("sentinel ", np.concatenate([
-                np.sort(rng.permutation(R)[: int(U * 0.4)]),
-                R + np.arange(U - int(U * 0.4))])),
+            ("sentinel ", sentinel_ids),
         ):
             uids = jnp.asarray(ids.astype(np.int32))
             table = jnp.zeros((R, d), jnp.float32)
             ms = bench(xla_set, table, uids, rows)
             print(f"D={d:4d} U={U} {tag} xla.set {ms:8.3f} ms")
-        from cikm2020_dmt_tpu.ops.scatter_rows import update_rows
-        if d == 128:
-            uids = jnp.asarray(ids.astype(np.int32))
-            table = jnp.zeros((R, d), jnp.float32)
-            ms = bench(update_rows, table, uids, rows)
-            print(f"D={d:4d} U={U} sentinel  pallas update_rows {ms:8.3f} ms")
-
-
-if __name__ == "__main__":
-    main()
+        uids = jnp.asarray(sentinel_ids.astype(np.int32))
+        table = jnp.zeros((R, d), jnp.float32)
+        ms = bench(update_rows, table, uids, rows)
+        print(f"D={d:4d} U={U} sentinel  pallas update_rows {ms:8.3f} ms")
 
 
 def main2():
@@ -107,5 +103,8 @@ def main2():
         print(f"D={d:4d} U={U} gather+math+scatter chain {ms:8.3f} ms")
 
 
-if __name__ == "__main__" and os.environ.get("URB_MODE") == "chain":
-    main2()
+if __name__ == "__main__":
+    if os.environ.get("URB_MODE") == "chain":
+        main2()
+    else:
+        main()

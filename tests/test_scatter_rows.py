@@ -57,10 +57,13 @@ class TestWriteRows:
             R, U = 500, 90
             table = rng.normal(size=(R, d)).astype(np.float32)
             ids = np.sort(rng.choice(R, U, replace=False)).astype(np.int32)
-            ids = np.concatenate([ids, R + np.arange(17, dtype=np.int32)])
+            # sentinel tail (skipped) + a negative id (dropped, like
+            # mode="drop")
+            ids = np.concatenate([np.array([-3], np.int32), ids,
+                                  R + np.arange(17, dtype=np.int32)])
             rows = rng.normal(size=(len(ids), d)).astype(np.float32)
             want = table.copy()
-            want[ids[:U]] = rows[:U]
+            want[ids[1:U + 1]] = rows[1:U + 1]
             got = update_rows(jnp.asarray(table), jnp.asarray(ids),
                               jnp.asarray(rows), interpret=True)
             np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
@@ -73,8 +76,9 @@ class TestWriteRows:
             R, U = 500, 90
             table = rng.normal(size=(R, d)).astype(np.float32)
             ids = np.sort(rng.choice(R, U, replace=False)).astype(np.int32)
-            ids = np.concatenate([ids, R + np.arange(17, dtype=np.int32)])
-            want = table[np.minimum(ids, R - 1)]
+            ids = np.concatenate([np.array([-2], np.int32), ids,
+                                  R + np.arange(17, dtype=np.int32)])
+            want = table[np.clip(ids, 0, R - 1)]
             got = gather_rows(jnp.asarray(table), jnp.asarray(ids),
                               interpret=True)
             np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
