@@ -27,8 +27,10 @@ run() {
   if [ $code -ne 0 ]; then echo "(sleeping 660s after failure)"; sleep 660; fi
 }
 
-run verify python scripts/verify_update_rows_tpu.py
+# bench_default FIRST: it warms the persistent compile cache for the
+# driver's round-end bench (a cold flagship compile is ~35 min remote)
 run bench_default python bench.py
+run verify python scripts/verify_update_rows_tpu.py
 run bench_gg env DMT_DMA_GRID_GATHER=1 python bench.py
 run bench_bwd env DMT_DMA_BWD=1 python bench.py
 run bench_mv env DMT_DMA_MV=1 python bench.py
