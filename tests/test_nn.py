@@ -259,6 +259,18 @@ class TestStreamingMetrics:
         np.testing.assert_allclose(np.asarray(got["tn"]),
                                    (1 - above) @ neg, rtol=1e-5, atol=1e-4)
 
+    def test_auc_nan_preds_count_above_all_thresholds(self):
+        """searchsorted parity: NaN predictions (diverged runs) sort last,
+        i.e. land in the top bucket — tp/fp at every threshold."""
+        labels = jnp.asarray([1.0, 0.0, 1.0])
+        preds = jnp.asarray([float("nan"), float("nan"), 0.5])
+        got = streaming.auc_update(streaming.auc_init(), labels, preds,
+                                   jnp.ones(3, jnp.float32))
+        # the NaN positive counts as tp at EVERY threshold; the NaN
+        # negative as fp at every threshold
+        assert float(got["tp"].min()) >= 1.0
+        assert float(got["fp"].min()) >= 1.0
+
     def test_precision_recall(self):
         labels = jnp.asarray([1, 1, 0, 0, 1], jnp.float32)
         preds = jnp.asarray([1, 0, 1, 0, 1], jnp.float32)
