@@ -47,12 +47,17 @@ def _parse_headers(header_schema: Sequence[str], headers: Sequence[bytes]):
         import pandas as pd
         blob = b"\n".join(h if isinstance(h, bytes) else h.encode()
                           for h in headers)
+        import csv
         cols = sorted({label_i, sid_i, uuid_i})
+        # QUOTE_NONE: header fields are arbitrary production bytes; csv
+        # quoting would otherwise consume across tabs/newlines on a '"'
+        # byte and misalign the columns (the per-line path never quotes)
         df = pd.read_csv(io.BytesIO(blob), sep="\t", header=None,
                          usecols=cols, names=[str(c) for c in cols],
                          dtype={str(label_i): np.int64, str(sid_i): str,
                                 str(uuid_i): str}, engine="c",
-                         skip_blank_lines=False, na_filter=False)
+                         skip_blank_lines=False, na_filter=False,
+                         quoting=csv.QUOTE_NONE)
         labels = df[str(label_i)].to_numpy(np.int64)
         sids = df[str(sid_i)].to_numpy(object)
         uuids = df[str(uuid_i)].to_numpy(object)
@@ -163,19 +168,14 @@ def _auc_rank(labels01: np.ndarray, scores: np.ndarray) -> float:
     return (rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
 
 
-def _segment_grouped_auc(codes: np.ndarray, y: np.ndarray,
-                         scores: np.ndarray):
-    """Per-group tie-averaged AUC for every group at once.
-
-    Returns (auc[int ngroups], glen, gstarts, order) where ``auc`` is 1.0
-    for single-class groups (reference except->1, metrics.py:69-74); the
-    caller masks size-1 groups (metrics.py:235-237).
-    """
+def _grouped_prep(codes: np.ndarray, scores: np.ndarray):
+    """Sort/segment structure shared by every action label: (order,
+    gstarts, glen, r_avg).  Hoisted so per-action calls (CLICK/ORDER)
+    don't re-run the dominant O(n log n) lexsort on 100M-row splits."""
     n = len(codes)
     order = np.lexsort((scores, codes))
     c = codes[order]
     s = scores[order]
-    yy = y[order].astype(np.float64)
     gchange = np.empty(n, bool)
     gchange[0] = True
     gchange[1:] = c[1:] != c[:-1]
@@ -185,6 +185,23 @@ def _segment_grouped_auc(codes: np.ndarray, y: np.ndarray,
     gid = np.cumsum(gchange) - 1
     r = np.arange(n, dtype=np.float64) - gstarts[gid] + 1.0
     r_avg = _tie_averaged_ranks(s, r, gchange)
+    return order, gstarts, glen, r_avg
+
+
+def _segment_grouped_auc(codes: np.ndarray, y: np.ndarray,
+                         scores: np.ndarray, prep=None):
+    """Per-group tie-averaged AUC for every group at once.
+
+    Returns (auc[int ngroups], glen, gstarts, order) where ``auc`` is 1.0
+    for single-class groups (reference except->1, metrics.py:69-74); the
+    caller masks size-1 groups (metrics.py:235-237).
+    """
+    n = len(codes)
+    if n == 0:  # empty split: no groups (the old per-group loop's behavior)
+        z = np.zeros(0)
+        return z, z.astype(np.int64), z.astype(np.int64), z.astype(np.int64)
+    order, gstarts, glen, r_avg = prep or _grouped_prep(codes, scores)
+    yy = y[order].astype(np.float64)
     n_pos = np.add.reduceat(yy, gstarts)
     n_neg = glen - n_pos
     rank_sum_pos = np.add.reduceat(r_avg * yy, gstarts)
@@ -204,10 +221,11 @@ def grouped_auc(header_schema, headers, scores,
     scores = np.asarray(scores, np.float64)
     codes = np.unique(keys, return_inverse=True)[1]
 
+    prep = _grouped_prep(codes, scores) if len(codes) else None
     out = {}
     for action in (CLICK, ORDER):
         y = (labels >= action).astype(np.int8)
-        auc, glen, _, _ = _segment_grouped_auc(codes, y, scores)
+        auc, glen, _, _ = _segment_grouped_auc(codes, y, scores, prep)
         valid = glen >= 2
         n_valid = int(valid.sum())
         out[action] = float(auc[valid].sum()) / max(n_valid, 1)

@@ -91,10 +91,13 @@ def weighted_grouped_auc(header_schema, headers, scores, *,
     codes = np.unique(keys, return_inverse=True)[1]
     any_click = (labels >= 1).astype(np.float64)
 
+    from .offline import _grouped_prep
+    prep = _grouped_prep(codes, scores) if len(codes) else None
     out = {}
     for action in (CLICK, ORDER):
         y = (labels >= action).astype(np.int8)
-        auc, glen, gstarts, order = _segment_grouped_auc(codes, y, scores)
+        auc, glen, gstarts, order = _segment_grouped_auc(codes, y, scores,
+                                                         prep)
         if weight_method == "impression":
             w = glen.astype(np.float64)
         elif weight_method == "click":

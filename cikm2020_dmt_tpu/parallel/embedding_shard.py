@@ -244,6 +244,12 @@ class ShardedEmbeddingEngine(EmbeddingEngine):
             flat = ids_l.reshape(-1).astype(jnp.int32)          # [bl]
             n = flat.shape[0]
             R = jnp.int32(M * rows_per_shard)                   # sentinel
+            # negative ids -> sentinel: they then sort to the tail, the
+            # keep mask zeros them, and o_u/rank arithmetic stays in
+            # range — matching grid_psum's in_shard masking (a raw -1
+            # would otherwise clip to bucket row 0 and return owner 0's
+            # first unique row)
+            flat = jnp.where(flat < 0, R, flat)
 
             order = jnp.argsort(flat)
             s = flat[order]

@@ -227,7 +227,12 @@ def lazy_adam_rows(table: jnp.ndarray, mv: jnp.ndarray,
     each (lanes are ~free on the VPU; scatter cost is per (8, 128) tile
     row, and one 256-lane scatter loop beats two 128-lane loops).
     """
-    lr = schedule(count)
+    # optax.scale_by_schedule evaluates the schedule at the PRE-increment
+    # count (0-based step), while ``count`` here is the post-increment
+    # update number (bias correction needs it 1-based): without the -1 the
+    # lazy tables would cross piecewise-constant LR boundaries one step
+    # before the dense params (and before tf.train.piecewise_constant)
+    lr = schedule(count - 1)
     d = table.shape[1]
     safe = jnp.minimum(uids, table.shape[0] - 1)
     mvu = jnp.take(mv, safe, axis=0, indices_are_sorted=True)

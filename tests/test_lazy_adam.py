@@ -208,3 +208,31 @@ class TestExactDedup:
         dense[3] = 4.0
         dense[7] = 2.0
         np.testing.assert_allclose(np.asarray(grad), dense)
+
+
+class TestLazyScheduleParity:
+    def test_lr_boundary_matches_optax_convention(self):
+        """optax.scale_by_schedule evaluates at the PRE-increment count:
+        update k (1-based) uses schedule(k-1).  The lazy path must switch
+        piecewise-constant rates on the same update as the dense params."""
+        from cikm2020_dmt_tpu.train.lazy import lazy_adam_rows
+        from cikm2020_dmt_tpu.train.optim import piecewise_constant
+        sched = piecewise_constant((2,), (0.1, 0.01))
+        R, D = 4, 128
+        uids = jnp.arange(R, dtype=jnp.int32)
+        rows = jnp.ones((R, D), jnp.float32)
+        grows = jnp.ones((R, D), jnp.float32)
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        # update number k uses schedule(k-1); tf.train.piecewise_constant
+        # keeps rates[0] for step <= boundary, so the switch lands on the
+        # update where k-1 > 2, i.e. k=4
+        for k, want_lr in ((1, 0.1), (3, 0.1), (4, 0.01)):
+            table = jnp.ones((R, D), jnp.float32)
+            mv = jnp.zeros((R, 2 * D), jnp.float32)
+            t2, _ = lazy_adam_rows(table, mv, uids, rows, grows,
+                                   jnp.int32(k), sched)
+            mhat = (1 - b1) / (1 - b1 ** k)
+            vhat = (1 - b2) / (1 - b2 ** k)
+            want = 1.0 - want_lr * mhat / (np.sqrt(vhat) + eps)
+            np.testing.assert_allclose(np.asarray(t2)[0, 0], want,
+                                       rtol=1e-5)

@@ -166,3 +166,12 @@ class TestVectorizedScale:
                                        rtol=1e-9)
             np.testing.assert_allclose(got[action][1], want[action][1],
                                        rtol=1e-9)
+
+
+class TestEmptySplit:
+    def test_grouped_auc_empty_input_returns_zero(self):
+        from cikm2020_dmt_tpu.metrics.offline import grouped_auc
+        from cikm2020_dmt_tpu.metrics.offline import CLICK, ORDER
+        schema = ["label", "sid", "uuid"]
+        out = grouped_auc(schema, [], np.zeros(0))
+        assert out == {CLICK: 0.0, ORDER: 0.0}
