@@ -15,8 +15,10 @@ Semantics match the reference exactly (reference metrics/metrics.py):
 Implementation is fully vectorized NumPy over group segments
 (``reduceat`` kernels, no per-group Python) instead of the reference's
 pandas + fork-per-0.7*ncpu multiprocessing (metrics.py:134-199) — same
-numbers at any group count: 10M rows / 1M groups compute in seconds,
-where a per-group Python loop takes hours.
+numbers at any group count.  Measured on a 10M-row / 1M-group synthetic
+split (scripts/metrics_scale_bench.py, 4-core container): P@N+MRR 59s,
+grouped AUC 67s, overall AUC 24s, exact match vs a per-group oracle;
+a per-group Python-loop AUC at that size takes hours.
 """
 
 from __future__ import annotations
