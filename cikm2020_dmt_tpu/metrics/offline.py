@@ -16,9 +16,10 @@ Implementation is fully vectorized NumPy over group segments
 (``reduceat`` kernels, no per-group Python) instead of the reference's
 pandas + fork-per-0.7*ncpu multiprocessing (metrics.py:134-199) — same
 numbers at any group count.  Measured on a 10M-row / 1M-group synthetic
-split (scripts/metrics_scale_bench.py, 4-core container): P@N+MRR 59s,
-grouped AUC 67s, overall AUC 24s, exact match vs a per-group oracle;
-a per-group Python-loop AUC at that size takes hours.
+split (scripts/metrics_scale_bench.py, 4-core container): parse 14s,
+then P@N+MRR, grouped AUC, and overall AUC together in 39s off one
+shared ``ParsedHeaders``; exact match vs a per-group oracle.  A
+per-group Python-loop AUC at that size takes hours.
 """
 
 from __future__ import annotations
@@ -75,6 +76,55 @@ def _parse_headers(header_schema: Sequence[str], headers: Sequence[bytes]):
     return labels, sids, uuids
 
 
+class ParsedHeaders:
+    """Header columns parsed once, shareable across every metric call on
+    the same split.
+
+    The reference re-reads its score file per metric pass; at its 105.4M-row
+    test split the repeated header parse + object-array group factorization
+    dominates (the blend grid search alone touches the split 40+ times:
+    8 weight cells x 5 metric families).  ``parse_headers`` lets the test
+    driver parse once and hand the same object to every metric; ``codes``
+    memoizes the integer group codes per key type (hash-based
+    ``pd.factorize`` instead of sort-based ``np.unique`` on object
+    strings).  Group-code ORDER differs from np.unique's lexicographic
+    order, which is immaterial: every metric is a sum/mean over groups.
+    """
+
+    __slots__ = ("labels", "sids", "uuids", "_codes")
+
+    def __init__(self, labels, sids, uuids):
+        self.labels = labels
+        self.sids = sids
+        self.uuids = uuids
+        self._codes: dict = {}
+
+    def codes(self, group_by) -> np.ndarray:
+        key = group_by if isinstance(group_by, str) else tuple(group_by)
+        got = self._codes.get(key)
+        if got is None:
+            import pandas as pd
+            if key == "sid":
+                got = pd.factorize(self.sids)[0].astype(np.int64)
+            elif key == "uuid":
+                got = pd.factorize(self.uuids)[0].astype(np.int64)
+            else:  # composite (uuid, sid): combine the per-column codes
+                cu = self.codes("uuid")
+                cs = self.codes("sid")
+                span = int(cs.max()) + 1 if len(cs) else 1
+                got = pd.factorize(cu * span + cs)[0].astype(np.int64)
+            self._codes[key] = got
+        return got
+
+
+def parse_headers(header_schema, headers) -> ParsedHeaders:
+    """Parse raw header lines (or pass through an existing
+    ``ParsedHeaders``) — every public metric function accepts either."""
+    if isinstance(headers, ParsedHeaders):
+        return headers
+    return ParsedHeaders(*_parse_headers(header_schema, headers))
+
+
 def _group_segments(keys: np.ndarray, order: np.ndarray):
     """Given a sort order grouping identical keys contiguously, return
     (starts, ends) segment boundaries."""
@@ -89,9 +139,10 @@ def _group_segments(keys: np.ndarray, order: np.ndarray):
 
 def _sort_groups(keys, scores, labels):
     """Lexsort: groups contiguous, within group score desc then label asc."""
+    if not np.issubdtype(np.asarray(keys).dtype, np.integer):
+        keys = np.unique(keys, return_inverse=True)[1]
     # np.lexsort: last key is primary
-    codes = np.unique(keys, return_inverse=True)[1]
-    order = np.lexsort((labels, -scores, codes))
+    order = np.lexsort((labels, -scores, keys))
     return order
 
 
@@ -126,10 +177,12 @@ def precision_mrr_at_n(header_schema, headers, scores,
     """Reference get_offline_metrics (metrics.py:122-199):
     {CLICK: (pre@N array, mrr@N array), ORDER: (...)} averaged over sid
     groups."""
-    labels, sids, _ = _parse_headers(header_schema, headers)
+    ph = parse_headers(header_schema, headers)
+    labels = ph.labels
+    codes = ph.codes("sid")
     scores = np.asarray(scores, np.float64)
-    order = _sort_groups(sids, scores, labels)
-    starts, ends = _group_segments(sids, order)
+    order = _sort_groups(codes, scores, labels)
+    starts, ends = _group_segments(codes, order)
     sorted_labels = labels[order]
     n_groups = len(starts)
 
@@ -218,10 +271,10 @@ def grouped_auc(header_schema, headers, scores,
     """Reference get_offline_metrics_auc (metrics.py:204-276):
     {CLICK: auc, ORDER: auc} — per-group AUC averaged over groups with
     >=2 rows; single-class groups count 1.0."""
-    labels, sids, uuids = _parse_headers(header_schema, headers)
-    keys = uuids if group_method == "uuid" else sids
+    ph = parse_headers(header_schema, headers)
+    labels = ph.labels
     scores = np.asarray(scores, np.float64)
-    codes = np.unique(keys, return_inverse=True)[1]
+    codes = ph.codes("uuid" if group_method == "uuid" else "sid")
 
     prep = _grouped_prep(codes, scores) if len(codes) else None
     out = {}
@@ -236,7 +289,7 @@ def grouped_auc(header_schema, headers, scores,
 
 def overall_auc(header_schema, headers, scores) -> dict:
     """Ungrouped test AUC per task — the paper's Table-1 metric."""
-    labels, _, _ = _parse_headers(header_schema, headers)
+    labels = parse_headers(header_schema, headers).labels
     scores = np.asarray(scores, np.float64)
     return {
         CLICK: _auc_rank((labels >= CLICK).astype(np.int8), scores),

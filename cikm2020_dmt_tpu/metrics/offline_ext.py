@@ -24,31 +24,24 @@ import numpy as np
 
 from ..core.logging import log_to_file
 from .offline import (AT_LIST, CLICK, ORDER, _auc_rank, _group_segments,
-                      _parse_headers, _segment_grouped_auc,
-                      _segment_pre_mrr, _sort_groups)
+                      _segment_grouped_auc, _segment_pre_mrr, _sort_groups,
+                      parse_headers)
 
 # reference weight ladder (metrics2.py:382)
 GRID_WEIGHTS = ((1.0, 0.05), (1.0, 0.1), (1.0, 0.25), (1.0, 0.5),
                 (1.0, 1.0), (1.0, 2.0), (1.0, 4.0), (1.0, 8.0))
 
 
-def _keys_for(group_by, sids, uuids):
-    if group_by == "sid":
-        return sids
-    if group_by == "uuid":
-        return uuids
-    # (uuid, sid) composite (metrics2 split_group)
-    return np.array([u + "\x00" + s for u, s in zip(uuids, sids)], object)
-
-
 def precision_mrr_grouped(header_schema, headers, scores, *,
                           group_by="sid", at_list=AT_LIST) -> dict:
-    """P@N / MRR@N with a configurable group key (sid / uuid / uuid+sid)."""
-    labels, sids, uuids = _parse_headers(header_schema, headers)
-    keys = _keys_for(group_by, sids, uuids)
+    """P@N / MRR@N with a configurable group key (sid / uuid / uuid+sid,
+    the latter matching metrics2 split_group's composite)."""
+    ph = parse_headers(header_schema, headers)
+    labels = ph.labels
+    codes = ph.codes(group_by)
     scores = np.asarray(scores, np.float64)
-    order = _sort_groups(keys, scores, labels)
-    starts, ends = _group_segments(keys, order)
+    order = _sort_groups(codes, scores, labels)
+    starts, ends = _group_segments(codes, order)
     sorted_labels = labels[order]
     n_groups = len(starts)
 
@@ -73,7 +66,7 @@ def separate_metrics(header_schema, headers, clk_scores, ord_scores, *,
 
 def mix_auc(header_schema, headers, scores) -> dict:
     """Ungrouped AUC over all rows (metrics2 get_offline_metrics_auc_mix)."""
-    labels, _, _ = _parse_headers(header_schema, headers)
+    labels = parse_headers(header_schema, headers).labels
     scores = np.asarray(scores, np.float64)
     return {a: _auc_rank((labels >= a).astype(np.int8), scores)
             for a in (CLICK, ORDER)}
@@ -85,10 +78,10 @@ def weighted_grouped_auc(header_schema, headers, scores, *,
     """Grouped AUC with per-group weights: group size ("impression") or
     #(label>=1) ("click"); normalized by total weight
     (reference metrics2.py:196-289)."""
-    labels, sids, uuids = _parse_headers(header_schema, headers)
-    keys = _keys_for(group_method, sids, uuids)
+    ph = parse_headers(header_schema, headers)
+    labels = ph.labels
+    codes = ph.codes(group_method)
     scores = np.asarray(scores, np.float64)
-    codes = np.unique(keys, return_inverse=True)[1]
     any_click = (labels >= 1).astype(np.float64)
 
     from .offline import _grouped_prep
@@ -120,6 +113,9 @@ def grid_search(header_schema, headers, clk_scores, ord_scores, *,
 
     clk_scores = np.asarray(clk_scores, np.float64)
     ord_scores = np.asarray(ord_scores, np.float64)
+    # parse once; the 8 weight cells x 5 metric families below all share
+    # the same ParsedHeaders (and its memoized group codes)
+    headers = parse_headers(header_schema, headers)
 
     results: dict = {"cells": {}, "separate": separate_metrics(
         header_schema, headers, clk_scores, ord_scores)}
@@ -189,7 +185,8 @@ def save_scores_csv(path: str, header_schema, headers, clk_scores,
     """Tab-separated score dump (reference metrics3.save_to_local,
     :92-110): header fields + click/order scores, one row per example."""
     import pandas as pd
-    labels, sids, uuids = _parse_headers(header_schema, headers)
+    ph = parse_headers(header_schema, headers)
+    labels, sids, uuids = ph.labels, ph.sids, ph.uuids
     pd.DataFrame({"uuid": uuids, "sid": sids, "label": labels,
                   "click_score": np.asarray(clk_scores),
                   "order_score": np.asarray(ord_scores)}).to_csv(

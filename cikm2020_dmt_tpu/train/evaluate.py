@@ -276,10 +276,13 @@ def predict(cfg: DMTConfig, ckpt_step: int, test_tag: str = "",
             for h, sc, so in zip(headers, p_clk, p_ord):
                 f.write(h.decode() + f"\t{sc}\t{so}\n")
         total = p_clk + p_ord  # reference total score (run_dnn.py:833-849)
-        pm = _write_offline_metrics(cfg, headers, total, out_file)
-        gauc = offline.grouped_auc(cfg.header_schema, headers, total)
-        oauc_clk = offline.overall_auc(cfg.header_schema, headers, p_clk)
-        oauc_ord = offline.overall_auc(cfg.header_schema, headers, p_ord)
+        # parse the header lines once; every metric call below (and the
+        # optional grid search) shares the ParsedHeaders + group codes
+        parsed = offline.parse_headers(cfg.header_schema, headers)
+        pm = _write_offline_metrics(cfg, parsed, total, out_file)
+        gauc = offline.grouped_auc(cfg.header_schema, parsed, total)
+        oauc_clk = offline.overall_auc(cfg.header_schema, parsed, p_clk)
+        oauc_ord = offline.overall_auc(cfg.header_schema, parsed, p_ord)
         log_to_file(
             f"grouped_auc_click: {gauc[offline.CLICK]}\n"
             f"grouped_auc_order: {gauc[offline.ORDER]}\n"
@@ -296,5 +299,5 @@ def predict(cfg: DMTConfig, ckpt_step: int, test_tag: str = "",
             # metrics2-style blend-weight sweep + per-head/weighted AUCs
             from ..metrics.offline_ext import grid_search as run_grid
             results[test_path]["grid"] = run_grid(
-                cfg.header_schema, headers, p_clk, p_ord, out_file=out_file)
+                cfg.header_schema, parsed, p_clk, p_ord, out_file=out_file)
     return results

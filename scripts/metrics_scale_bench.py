@@ -65,6 +65,23 @@ def main():
     print(f"overall_auc:        {t_oa:.1f}s  "
           f"click={oa[CLICK]:.4f} order={oa[ORDER]:.4f}")
 
+    # shared-parse mode: what the test driver actually does (evaluate.py
+    # parses once and hands the same ParsedHeaders to every metric)
+    from cikm2020_dmt_tpu.metrics.offline import parse_headers
+    t0 = time.time()
+    ph = parse_headers(schema, headers)
+    t_parse = time.time() - t0
+    t0 = time.time()
+    pm2 = precision_mrr_at_n(schema, ph, scores)
+    ga2 = grouped_auc(schema, ph, scores)
+    oa2 = overall_auc(schema, ph, scores)
+    t_shared = time.time() - t0
+    print(f"shared-parse: parse {t_parse:.1f}s + all three metrics "
+          f"{t_shared:.1f}s")
+    assert np.allclose(pm2[CLICK][0], pm[CLICK][0])
+    assert abs(ga2[CLICK] - ga[CLICK]) < 1e-12
+    assert abs(oa2[ORDER] - oa[ORDER]) < 1e-12
+
     # oracle cross-check on 50 sampled groups (per-group sklearn-style AUC)
     rng = np.random.default_rng(1)
     sample = rng.choice(np.unique(gid), 50, replace=False)
