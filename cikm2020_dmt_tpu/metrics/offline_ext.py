@@ -103,14 +103,37 @@ def weighted_grouped_auc(header_schema, headers, scores, *,
     return out
 
 
+def _cell_grouped_aucs(ph, blended: np.ndarray) -> tuple[dict, dict, dict]:
+    """grouped_auc + impression-/click-weighted grouped AUC for one blend
+    cell, sharing a single ``_grouped_prep`` (the dominant O(n log n)
+    lexsort) instead of re-sorting three times."""
+    from .offline import _grouped_prep
+    codes = ph.codes("uuid")
+    labels = ph.labels
+    any_click = (labels >= 1).astype(np.float64)
+    prep = _grouped_prep(codes, blended) if len(codes) else None
+    plain, w_imp, w_clk = {}, {}, {}
+    for action in (CLICK, ORDER):
+        y = (labels >= action).astype(np.int8)
+        auc, glen, gstarts, order = _segment_grouped_auc(codes, y, blended,
+                                                         prep)
+        valid = glen >= 2
+        plain[action] = float(auc[valid].sum()) / max(int(valid.sum()), 1)
+        for out, w in ((w_imp, glen.astype(np.float64)),
+                       (w_clk, np.add.reduceat(any_click[order], gstarts)
+                        if len(glen) else np.zeros(0))):
+            w = np.where(valid, w, 0.0)
+            tw = float(w.sum())
+            out[action] = float((auc * w).sum()) / tw if tw > 0 else 0.0
+    return plain, w_imp, w_clk
+
+
 def grid_search(header_schema, headers, clk_scores, ord_scores, *,
                 weights: Sequence[tuple[float, float]] = GRID_WEIGHTS,
                 out_file: Optional[str] = None) -> dict:
     """Blend-weight grid search (reference metrics2.get_offline_metrics,
     :347-497).  Returns per-weight metric dicts + the best cell by click
     P@4; optionally appends the reference-format report to ``out_file``."""
-    from .offline import grouped_auc
-
     clk_scores = np.asarray(clk_scores, np.float64)
     ord_scores = np.asarray(ord_scores, np.float64)
     # parse once; the 8 weight cells x 5 metric families below all share
@@ -133,15 +156,13 @@ def grid_search(header_schema, headers, clk_scores, ord_scores, *,
         key = f"{wc}_{wo}"
         pm = precision_mrr_grouped(header_schema, headers, blended,
                                    group_by=("uuid", "sid"))
+        gauc, gauc_imp, gauc_clk = _cell_grouped_aucs(headers, blended)
         cell = {
             "precision_mrr": pm,
             "mix_auc": mix_auc(header_schema, headers, blended),
-            "grouped_auc": grouped_auc(header_schema, headers, blended, "uuid"),
-            "grouped_auc_impression": weighted_grouped_auc(
-                header_schema, headers, blended,
-                weight_method="impression"),
-            "grouped_auc_click": weighted_grouped_auc(
-                header_schema, headers, blended, weight_method="click"),
+            "grouped_auc": gauc,
+            "grouped_auc_impression": gauc_imp,
+            "grouped_auc_click": gauc_clk,
         }
         g = cell["grouped_auc"]
         denom = g[CLICK] + g[ORDER]

@@ -124,3 +124,30 @@ class TestCSV:
         assert len(lines) == len(headers) + 1
         first = lines[1].split("\t")
         assert float(first[3]) == pytest.approx(clk[0])
+
+
+class TestCellGroupedAUCs:
+    def test_matches_standalone_functions(self, case):
+        """_cell_grouped_aucs (one shared lexsort per grid cell) must equal
+        grouped_auc + both weighted_grouped_auc variants exactly."""
+        from cikm2020_dmt_tpu.metrics.offline_ext import _cell_grouped_aucs
+        headers, labels, uuids, clk, ordr = case
+        blended = (1.0 * clk + 0.5 * ordr) / 1.5
+        ph = offline.parse_headers(SCHEMA, headers)
+        plain, w_imp, w_clk = _cell_grouped_aucs(ph, blended)
+        ref_plain = offline.grouped_auc(SCHEMA, ph, blended, "uuid")
+        ref_imp = weighted_grouped_auc(SCHEMA, ph, blended,
+                                       weight_method="impression")
+        ref_clk = weighted_grouped_auc(SCHEMA, ph, blended,
+                                       weight_method="click")
+        for a in (offline.CLICK, offline.ORDER):
+            assert plain[a] == pytest.approx(ref_plain[a], abs=1e-12)
+            assert w_imp[a] == pytest.approx(ref_imp[a], abs=1e-12)
+            assert w_clk[a] == pytest.approx(ref_clk[a], abs=1e-12)
+
+    def test_empty_split(self):
+        from cikm2020_dmt_tpu.metrics.offline_ext import _cell_grouped_aucs
+        ph = offline.parse_headers(SCHEMA, [])
+        plain, w_imp, w_clk = _cell_grouped_aucs(ph, np.zeros(0))
+        for d in (plain, w_imp, w_clk):
+            assert d[offline.CLICK] == 0.0 and d[offline.ORDER] == 0.0
