@@ -287,6 +287,11 @@ class DMTConfig:
     dedup_grads: bool = True
     dedup_rows_threshold: int = 1_000_000
     dedup_budget_div: int = 8
+    # lazy-Adam budget overflow: keep the FORWARD exact by gathering the
+    # true table rows for budget-overflowed ids (lax.cond — free when no
+    # overflow occurs); only their gradient is skipped for the step.  Off:
+    # overflowed ids read the zero row (pre-r2 behavior)
+    lazy_overflow_exact: bool = True
     # small tables (<= dedup_exact_rows_max rows) get an EXACT dedup
     # backward: ids < num_rows bounds the unique count by pigeonhole, so
     # the scatter touches at most num_rows rows with no budget heuristic.

@@ -101,7 +101,10 @@ def _lazy_step(trainer: "Trainer", tstate: dict, batch: dict, rng):
             full["emb"][t.name] = jax.lax.stop_gradient(
                 params["emb"][t.name])
         engine.overlay = {
-            t.name: make_overlay(t, cols[t.name], rows_d[t.name])
+            t.name: make_overlay(
+                t, cols[t.name], rows_d[t.name],
+                table=(params["emb"][t.name]
+                       if cfg.lazy_overflow_exact else None))
             for t in trainer.lazy_plan}
         try:
             return trainer.loss_fn(full, mstate, batch, rng)
@@ -131,8 +134,9 @@ def _lazy_step(trainer: "Trainer", tstate: dict, batch: dict, rng):
         "opt_state": opt_state,
         "step": count,
         "lazy_opt": lazy_opt,
-        # cumulative count of unique ids dropped by the dedup budget
-        # (zero forward rows + no gradient); nonzero means raise
+        # cumulative count of unique ids past the dedup budget (gradient
+        # skipped for the step; forward stays exact under the default
+        # lazy_overflow_exact fallback); persistently nonzero means raise
         # dedup_budget_div's denominator margin — see train/lazy.py
         "lazy_overflow": tstate["lazy_overflow"] + sum(
             c.overflow for c in cols.values()),
@@ -431,8 +435,8 @@ class Trainer:
                     ovf = ""
                     if int(tstate.get("lazy_overflow", 0)) > 0:
                         ovf = (f" | LAZY-OVERFLOW "
-                               f"{int(tstate['lazy_overflow'])} ids dropped"
-                               " (lower dedup_budget_div)")
+                               f"{int(tstate['lazy_overflow'])} id-grads "
+                               "skipped (lower dedup_budget_div)")
                     log_line(
                         f"step {step} | loss {float(loss):.6f} | "
                         f"clk p/r/auc {vals['click_precision']:.4f}/"

@@ -236,3 +236,57 @@ class TestLazyScheduleParity:
             want = 1.0 - want_lr * mhat / (np.sqrt(vhat) + eps)
             np.testing.assert_allclose(np.asarray(t2)[0, 0], want,
                                        rtol=1e-5)
+
+
+class TestOverflowExactForward:
+    """cfg.lazy_overflow_exact: budget-overflowed ids must read their TRUE
+    table rows in the forward (only their gradient is skipped)."""
+
+    def _setup(self):
+        from cikm2020_dmt_tpu.train.lazy import LazyTableSpec, collect
+        R, D = 512, 8
+        table = jnp.arange(R * D, dtype=jnp.float32).reshape(R, D) / (R * D)
+        rng = np.random.default_rng(3)
+        # N=2048 elements covering all 512 distinct ids -> U=256 budget,
+        # 256 unique ids overflow
+        ids = rng.integers(0, R, size=(64, 32)).astype(np.int32)
+        ids.flat[:R] = np.arange(R)  # guarantee all 512 ids present
+        batch = {"f__ids": ids}
+        spec = LazyTableSpec("T", (("f", R),), 1, D)
+        col = collect(spec, batch, table, budget_div=8)
+        assert int(col.overflow) > 0
+        return spec, col, table, batch, ids
+
+    def test_forward_exact_with_fallback(self):
+        from cikm2020_dmt_tpu.train.lazy import make_overlay, overlay_take
+        spec, col, table, batch, ids = self._setup()
+        ov = make_overlay(spec, col, col.rows, table=table)
+        got = overlay_take(ov, batch["f__ids"])
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(table)[ids], rtol=1e-6)
+
+    def test_zero_rows_without_fallback(self):
+        from cikm2020_dmt_tpu.train.lazy import make_overlay, overlay_take
+        spec, col, table, batch, ids = self._setup()
+        ov = make_overlay(spec, col, col.rows)
+        got = np.asarray(overlay_take(ov, batch["f__ids"]))
+        # overflowed elements read the zero row (pre-fallback behavior);
+        # table rows are all nonzero except id 0
+        zero_rows = (got == 0).all(axis=-1).sum()
+        assert zero_rows > ids.size // 16
+
+    def test_gradient_skipped_only_for_overflow(self):
+        from cikm2020_dmt_tpu.train.lazy import make_overlay, overlay_take
+        spec, col, table, batch, ids = self._setup()
+
+        def f(rows_diff):
+            ov = make_overlay(spec, col, rows_diff, table=table)
+            return jnp.sum(overlay_take(ov, batch["f__ids"]))
+
+        g = np.asarray(jax.grad(f)(col.rows))
+        assert np.isfinite(g).all()
+        # in-budget rows accumulate their duplication count; totals match
+        # the number of non-overflowed elements
+        pos = np.asarray(col.pos)
+        U = col.rows.shape[0]
+        assert g.sum() == pytest.approx((pos < U).sum() * table.shape[1])
