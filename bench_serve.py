@@ -1,0 +1,153 @@
+"""Serving-path benchmark: request assembly + jitted scoring latency on
+the exported flagship bundle.
+
+The reference serves via a TF SavedModel with u-side tiling done inside
+the graph (reference saved_model/export_model.py:58-99,
+model/inference_mlp.py:73-113); here the exported Orbax bundle is scored
+by ``serve.export.Scorer`` (jit with folded-in online normalization) and
+requests are assembled host-side by ``ServingPreprocessor``.
+
+One JSON line, bench.py-style: value = steady-state p50 request latency
+(ms) at 300 candidate items per request (a production-typical rerank
+candidate set); vs_baseline = speedup of the jitted scorer over eager
+``model.apply`` on the same request (the no-XLA serving baseline).
+
+Run (CPU): env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python bench_serve.py
+Run (TPU): python bench_serve.py        # one process, compile cache warm
+Needs the flagship export: out/dmt_demo/dmt_demo.model/frozen/ckpt-*
+(produced by the demo-chain `cli.export`; see CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+import numpy as np
+
+
+B = 300           # candidates per rerank request
+ITERS = 50
+
+
+def newest_export(model_path: str) -> str:
+    dirs = sorted(glob.glob(os.path.join(model_path, "frozen", "ckpt-*")),
+                  key=lambda p: int(p.rsplit("-", 1)[1]))
+    if not dirs:
+        raise SystemExit(
+            f"no export bundle under {model_path}/frozen — run the demo "
+            "chain (cli.train + cli.export) first, see CLAUDE.md")
+    return dirs[-1]
+
+
+def build_request(prep, rng, b: int) -> dict:
+    """One user (50-deep click history, 10-deep order/cart histories)
+    reranking ``b`` candidate items."""
+    def seq(n, lo, hi):
+        return [str(x).encode() for x in rng.integers(lo, hi, n)]
+
+    id_values = {
+        # u-side histories (tiled across the request by the preprocessor)
+        "clk_seq_sku_7d_50": seq(50, 1, 10**10),
+        "clk_seq_c2_7d_50": seq(50, 1, 5000),
+        "clk_seq_c3_7d_50": seq(50, 1, 20000),
+        "clk_seq_brand_7d_50": seq(50, 1, 300000),
+        "clk_seq_shop_7d_50": seq(50, 1, 800000),
+        "clk_seq_ts_7d_50": seq(50, 0, 10**6),
+        "ord_seq_sku_12m_10": seq(10, 1, 10**10),
+        "ord_seq_c2_12m_10": seq(10, 1, 5000),
+        "ord_seq_c3_12m_10": seq(10, 1, 20000),
+        "ord_seq_brand_12m_10": seq(10, 1, 300000),
+        "ord_seq_shop_12m_10": seq(10, 1, 800000),
+        "ord_seq_ts_12m_10": seq(10, 0, 10**7),
+        "cart_seq_sku_12m_10": seq(10, 1, 10**10),
+        "cart_seq_c2_12m_10": seq(10, 1, 5000),
+        "cart_seq_c3_12m_10": seq(10, 1, 20000),
+        "cart_seq_brand_12m_10": seq(10, 1, 300000),
+        "cart_seq_shop_12m_10": seq(10, 1, 800000),
+        "cart_seq_ts_12m_10": seq(10, 0, 10**7),
+        "near_expo_seq_c2": seq(10, 1, 5000),
+        "near_expo_seq_c3": seq(10, 1, 20000),
+        # i-side: one value per candidate row
+        "item_fea_sku": seq(b, 1, 10**10),
+        "item_c2": seq(b, 1, 5000),
+        "item_c3": seq(b, 1, 20000),
+        "item_brand": seq(b, 1, 300000),
+        "item_shop": seq(b, 1, 800000),
+    }
+    raw = np.abs(rng.normal(size=(b, 615))).astype(np.float32)
+    return prep.assemble(b, id_values=id_values, raw_features=raw)
+
+
+def main() -> None:
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+    from cikm2020_dmt_tpu.core.config import DMTConfig
+    from cikm2020_dmt_tpu.serve.export import (ServingPreprocessor,
+                                               load_scorer)
+
+    cfg = DMTConfig.from_ini("conf/dmt_demo.conf")
+    export_dir = newest_export(cfg.model_path)
+    scorer = load_scorer(cfg, export_dir)
+    prep = ServingPreprocessor(cfg)
+    rng = np.random.default_rng(0)
+
+    t0 = time.perf_counter()
+    batch = build_request(prep, rng, B)
+    t_assemble = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    out = scorer(batch)
+    t_compile = (time.perf_counter() - t0) * 1e3
+    assert np.isfinite(out["Scores"]).all()
+
+    lat = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        scorer(batch)
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat = np.asarray(lat)
+    p50, p99 = float(np.percentile(lat, 50)), float(np.percentile(lat, 99))
+
+    # eager baseline: same math, no jit (what serving costs without XLA)
+    import jax.numpy as jnp
+    from cikm2020_dmt_tpu.serve.export import normalize_dense
+    from cikm2020_dmt_tpu.train.losses import scores_from_logits
+
+    def eager(batch):
+        feats = normalize_dense(jnp.asarray(batch["raw_features"]),
+                                scorer.scale, scorer.const_vec)
+        b = {k: jnp.asarray(v) for k, v in batch.items()}
+        b["features"] = feats
+        with jax.disable_jit():
+            o, _ = scorer.model.apply(scorer.params, scorer.model_state, b,
+                                      train=False, is_predict=True)
+            p_ctr, p_cvr = scores_from_logits(cfg, o, rel_only=True)
+        return np.asarray(p_ctr)
+
+    eager(batch)  # warm numpy/dispatch paths
+    t0 = time.perf_counter()
+    for _ in range(3):
+        eager(batch)
+    t_eager = (time.perf_counter() - t0) / 3 * 1e3
+
+    print(f"# export={export_dir}", flush=True)
+    print(f"# assemble {t_assemble:.1f} ms | first call (compile) "
+          f"{t_compile:.0f} ms | p50 {p50:.2f} ms | p99 {p99:.2f} ms | "
+          f"eager {t_eager:.1f} ms | {B / (p50 / 1e3):,.0f} candidates/s",
+          flush=True)
+    print(json.dumps({
+        "metric": f"serving p50 request latency, {B} candidates "
+                  "(flagship export, jitted scorer)",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "vs_baseline": round(t_eager / p50, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,3 +36,4 @@ run bench_bwd env DMT_DMA_BWD=1 python bench.py
 run bench_mv env DMT_DMA_MV=1 python bench.py
 run bench_both env DMT_DMA_GRID_GATHER=1 DMT_DMA_BWD=1 DMT_DMA_MV=1 python bench.py
 run trace python scripts/trace_step.py
+run serve python bench_serve.py
