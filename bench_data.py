@@ -25,18 +25,19 @@ def measure(stream_factory, batches: int = 60) -> float:
 
 def main() -> None:
     from cikm2020_dmt_tpu.core.config import DMTConfig
-    from cikm2020_dmt_tpu.data.native import NativeAssembler, native_batch_stream
+    from cikm2020_dmt_tpu.data.native import native_batch_stream
     from cikm2020_dmt_tpu.data.pipeline import batch_stream
 
     cfg = DMTConfig.from_ini("conf/dmt_demo.conf")
     path = cfg.validation_data_path
 
-    nat = NativeAssembler(cfg)
     # the train-path configuration: batch 4096, segment parse, no Python
-    # header materialization (loop.py passes with_headers=False)
+    # header materialization (loop.py passes with_headers=False); the
+    # stream builds its own assembler with cores split between stream
+    # workers and the per-call parse pool
     native_eps = measure(
         lambda: native_batch_stream(cfg, path, 4096, epochs=-1,
-                                    assembler=nat, with_headers=False),
+                                    with_headers=False),
         batches=30)
     python_eps = measure(
         lambda: batch_stream(cfg, path, 256, epochs=-1), batches=4)

@@ -163,10 +163,15 @@ class NativeAssembler:
             "em_page": np.zeros((b,), np.int32),
         }
         a["valid"][:n] = 1.0
-        # the C parser's header stride is the ctx's HEADER_CAP — the buffer
-        # must be allocated at that width even when headers are unused
-        header_buf = np.zeros((b, HEADER_CAP), np.uint8)
-        header_len = np.zeros((b,), np.int32)
+        # the C parser's header stride is the ctx's HEADER_CAP; a None
+        # buffer tells it to skip the header memcpy entirely (training
+        # passes with_headers=False and never reads the bytes — em_position
+        # / em_page are still parsed straight out of the record)
+        if with_headers:
+            header_buf = np.zeros((b, HEADER_CAP), np.uint8)
+            header_len = np.zeros((b,), np.int32)
+        else:
+            header_buf = header_len = None
         feat_ids, feat_wts, feat_len = [], [], []
         for f in s.id_features:
             a[f.name + IDS] = np.zeros((b, f.max_len), np.int32)
@@ -196,8 +201,10 @@ class NativeAssembler:
                 _ptr(a["features"][row:], ctypes.c_float),
                 _ptr(a["label"][row:], ctypes.c_float),
                 _ptr(a["mask"][row:], ctypes.c_float),
-                _ptr(header_buf[row:], ctypes.c_uint8),
-                _ptr(header_len[row:], ctypes.c_int32),
+                _ptr(header_buf[row:], ctypes.c_uint8)
+                if header_buf is not None else None,
+                _ptr(header_len[row:], ctypes.c_int32)
+                if header_len is not None else None,
                 _ptr(a["em_position"][row:], ctypes.c_int32),
                 _ptr(a["em_page"][row:], ctypes.c_int32),
                 ids_arr, wts_arr, len_arr)
@@ -209,7 +216,7 @@ class NativeAssembler:
         a["propensity_weight"] = w
         a["propensity_weight_positive"] = w_pos
         a["propensity_weight_mul"] = w_mul
-        if with_headers:
+        if with_headers and header_buf is not None:
             headers = [bytes(header_buf[i, :header_len[i]])
                        for i in range(n)]
             headers.extend(b"" for _ in range(b - n))
@@ -270,7 +277,6 @@ def native_batch_stream(
       datasets that fit the budget skip both the file re-read and the
       re-scan.
     """
-    assembler = assembler or NativeAssembler(cfg)
     files = shard_files(expand_files(path_spec), num_shards, shard_index)
     if not files:
         raise FileNotFoundError(f"no input files match {path_spec!r}")
@@ -282,6 +288,13 @@ def native_batch_stream(
         # 4-core host: 2 workers ~78k ex/s, 4 workers ~92k (the C++
         # parse drops the GIL, so threads keep scaling to core count)
         num_workers = min(8, os.cpu_count() or 4)
+    if assembler is None:
+        # split the cores between the stream workers and each call's
+        # internal parse pool — nested full-width pools oversubscribe
+        # (4 workers x 4 parse threads on 4 cores measures 147k ex/s
+        # where 4x1 measures 177k)
+        per_call = max(1, (os.cpu_count() or 4) // max(1, num_workers))
+        assembler = NativeAssembler(cfg, num_threads=per_call)
     if cache_bytes is None:
         cache_bytes = getattr(cfg, "data_cache_bytes", 0)
 

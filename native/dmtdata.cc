@@ -24,7 +24,6 @@
 #include <string>
 #include <string_view>
 #include <thread>
-#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -88,25 +87,103 @@ inline bool SkipField(const uint8_t* buf, size_t end, size_t* i, int wire) {
 }
 
 // ---------------------------------------------------------------------------
+// Flat open-addressing bytes->int32 map
+// ---------------------------------------------------------------------------
+//
+// The parse hot loop does one map probe per Example map entry (slot lookup)
+// plus one per id value (vocab lookup, ~10^2 per record for the click
+// sequences).  std::unordered_map costs a std::string construction per
+// probe (heap for keys >15B, e.g. sku ids) plus a node pointer chase; this
+// flat table probes contiguous (hash, value) arrays with linear probing and
+// reuses the FNV-1a hash the OOV fallback needs anyway.
+
+struct FlatMap {
+  std::string blob;            // concatenated key bytes (equality checks)
+  std::vector<uint64_t> h_;    // [cap] cached full hash per occupied slot
+  std::vector<int32_t> val_;   // [cap] value, -1 = empty
+  std::vector<uint32_t> koff_;  // [cap] key offset into blob
+  std::vector<uint32_t> klen_;  // [cap] key length
+  uint64_t mask = 0;
+  size_t size = 0;
+
+  void Reserve(size_t n) {
+    size_t cap = 16;
+    while (cap < 2 * n + 1) cap <<= 1;  // load factor <= 0.5
+    h_.assign(cap, 0);
+    val_.assign(cap, -1);
+    koff_.assign(cap, 0);
+    klen_.assign(cap, 0);
+    mask = cap - 1;
+  }
+
+  void Insert(const uint8_t* key, size_t n, int32_t value) {
+    if (val_.empty()) Reserve(8);
+    if (2 * (size + 1) > val_.size()) {  // grow: rebuild at 2x
+      FlatMap bigger;
+      bigger.Reserve(2 * val_.size());
+      bigger.blob.reserve(blob.size() + n);
+      for (size_t s = 0; s < val_.size(); ++s) {
+        if (val_[s] >= 0) {
+          bigger.Insert(reinterpret_cast<const uint8_t*>(blob.data()) +
+                            koff_[s],
+                        klen_[s], val_[s]);
+        }
+      }
+      *this = std::move(bigger);
+    }
+    uint64_t h = Fnv1a64(key, n);
+    size_t i = h & mask;
+    while (val_[i] >= 0) {
+      if (h_[i] == h && klen_[i] == n &&
+          std::memcmp(blob.data() + koff_[i], key, n) == 0) {
+        val_[i] = value;  // overwrite (matches map semantics)
+        return;
+      }
+      i = (i + 1) & mask;
+    }
+    h_[i] = h;
+    koff_[i] = static_cast<uint32_t>(blob.size());
+    klen_[i] = static_cast<uint32_t>(n);
+    val_[i] = value;
+    blob.append(reinterpret_cast<const char*>(key), n);
+    ++size;
+  }
+
+  // Caller supplies the precomputed FNV-1a hash of (key, n).
+  inline int32_t Find(const uint8_t* key, size_t n, uint64_t h) const {
+    size_t i = h & mask;
+    while (val_[i] >= 0) {
+      if (h_[i] == h && klen_[i] == n &&
+          std::memcmp(blob.data() + koff_[i], key, n) == 0) {
+        return val_[i];
+      }
+      i = (i + 1) & mask;
+    }
+    return -1;
+  }
+};
+
+// ---------------------------------------------------------------------------
 // Schema / context
 // ---------------------------------------------------------------------------
 
 struct Table {
   int64_t id_size = 0;
-  std::unordered_map<std::string, int32_t> vocab;
+  FlatMap vocab;
   int64_t NumOov() const {
-    return id_size - static_cast<int64_t>(vocab.size());
+    return id_size - static_cast<int64_t>(vocab.size);
   }
   int32_t Lookup(const uint8_t* v, size_t n) const {
-    if (vocab.empty()) {
-      return static_cast<int32_t>(Fnv1a64(v, n) % static_cast<uint64_t>(id_size));
+    uint64_t h = Fnv1a64(v, n);
+    if (vocab.size == 0) {
+      return static_cast<int32_t>(h % static_cast<uint64_t>(id_size));
     }
-    auto it = vocab.find(std::string(reinterpret_cast<const char*>(v), n));
-    if (it != vocab.end()) return it->second;
+    int32_t idx = vocab.Find(v, n, h);
+    if (idx >= 0) return idx;
     int64_t oov = NumOov();
     if (oov > 0) {
       return static_cast<int32_t>(
-          vocab.size() + Fnv1a64(v, n) % static_cast<uint64_t>(oov));
+          vocab.size + h % static_cast<uint64_t>(oov));
     }
     return 0;  // reference default_value=0
   }
@@ -133,24 +210,25 @@ struct Ctx {
   int page_field = 11;
   std::vector<Table> tables;
   std::vector<IdFeature> features;
-  // name -> (slot kind, feature index). kinds: 0 dense, 1 label, 2 mask,
+  // name -> (kind << 24) | feature index. kinds: 0 dense, 1 label, 2 mask,
   // 3 header, 4 ids, 5 wts
-  struct Slot {
-    int kind;
-    int idx;
-  };
-  std::unordered_map<std::string, Slot> slots;
+  FlatMap slots;
   int num_threads = 0;
 
+  void AddSlot(const std::string& name, int kind, int idx) {
+    slots.Insert(reinterpret_cast<const uint8_t*>(name.data()), name.size(),
+                 (kind << 24) | idx);
+  }
+
   void Finalize() {
-    slots.clear();
-    slots.emplace("features", Slot{0, 0});
-    slots.emplace("label", Slot{1, 0});
-    slots.emplace("mask", Slot{2, 0});
-    slots.emplace("header", Slot{3, 0});
+    slots = FlatMap();
+    AddSlot("features", 0, 0);
+    AddSlot("label", 1, 0);
+    AddSlot("mask", 2, 0);
+    AddSlot("header", 3, 0);
     for (size_t f = 0; f < features.size(); ++f) {
-      slots.emplace(features[f].name, Slot{4, static_cast<int>(f)});
-      slots.emplace(features[f].name + "Wts", Slot{5, static_cast<int>(f)});
+      AddSlot(features[f].name, 4, static_cast<int>(f));
+      AddSlot(features[f].name + "Wts", 5, static_cast<int>(f));
     }
     if (num_threads <= 0) {
       num_threads = std::max(1u, std::thread::hardware_concurrency());
@@ -299,9 +377,8 @@ void ParseOneExample(const Ctx& ctx, const uint8_t* rec, size_t rec_len,
       }
       j = entry_end;
       if (!key || val_start == 0) continue;
-      auto it = ctx.slots.find(std::string(
-          reinterpret_cast<const char*>(key), key_len));
-      if (it == ctx.slots.end()) continue;
+      int32_t packed = ctx.slots.Find(key, key_len, Fnv1a64(key, key_len));
+      if (packed < 0) continue;
 
       // unwrap the Feature oneof: field 1 bytes_list / 2 float_list
       size_t vi = val_start;
@@ -312,7 +389,10 @@ void ParseOneExample(const Ctx& ctx, const uint8_t* rec, size_t rec_len,
       size_t body_start = vi, body_end = vi + vlen;
       int vfield = vtag >> 3;  // 1 bytes, 2 float, 3 int64
 
-      const Ctx::Slot slot = it->second;
+      struct {
+        int kind;
+        int idx;
+      } slot{packed >> 24, packed & 0xFFFFFF};
       switch (slot.kind) {
         case 0:  // dense features
           if (vfield == 2) {
@@ -337,14 +417,18 @@ void ParseOneExample(const Ctx& ctx, const uint8_t* rec, size_t rec_len,
           if (vfield != 1) break;
           ForEachBytes(buf, body_start, body_end,
                        [&](const uint8_t* v, size_t vn) {
-            size_t cap = static_cast<size_t>(ctx.header_cap);
-            size_t cn = std::min(vn, cap);
-            std::memcpy(out->header_buf + static_cast<size_t>(row) * cap, v, cn);
-            out->header_len[row] = static_cast<int32_t>(cn);
+            if (out->header_buf) {  // null => caller skips header bytes
+              size_t cap = static_cast<size_t>(ctx.header_cap);
+              size_t cn = std::min(vn, cap);
+              std::memcpy(out->header_buf + static_cast<size_t>(row) * cap,
+                          v, cn);
+              out->header_len[row] = static_cast<int32_t>(cn);
+            }
             // header-derived position/page (tfrecord_mask.py:63-67)
             int field = 0;
+            const int last = std::max(ctx.pos_field, ctx.page_field);
             size_t s = 0;
-            for (size_t p = 0; p <= vn; ++p) {
+            for (size_t p = 0; p <= vn && field <= last; ++p) {
               if (p == vn || v[p] == '\t') {
                 if (field == ctx.pos_field) {
                   int64_t x = ParseIntBytes(v + s, p - s);
@@ -458,11 +542,12 @@ void dmt_table_add_vocab(void* p, int table, const uint8_t* values,
                          const int64_t* offsets, int64_t n) {
   auto* ctx = static_cast<Ctx*>(p);
   Table& t = ctx->tables[table];
-  t.vocab.reserve(n);
+  t.vocab.Reserve(n);
+  t.vocab.blob.reserve(offsets[n]);
   for (int64_t i = 0; i < n; ++i) {
-    std::string key(reinterpret_cast<const char*>(values + offsets[i]),
-                    offsets[i + 1] - offsets[i]);
-    t.vocab.emplace(std::move(key), static_cast<int32_t>(i));
+    t.vocab.Insert(values + offsets[i],
+                   static_cast<size_t>(offsets[i + 1] - offsets[i]),
+                   static_cast<int32_t>(i));
   }
 }
 

@@ -68,6 +68,7 @@ class TestNativeParity:
             assert pb.headers == nb.headers
             assert all(h == b"" for h in hb.headers)
             for key in ("features", "label", "propensity_weight",
+                        "em_position", "em_page",
                         "clk_seq_sku_7d_50__ids"):
                 np.testing.assert_array_equal(pb[key], nb[key], err_msg=key)
                 np.testing.assert_array_equal(pb[key], hb[key], err_msg=key)
