@@ -67,6 +67,9 @@ def load_library():
     lib.dmt_ctx_add_feature.restype = c.c_int
     lib.dmt_ctx_add_feature.argtypes = [c.c_void_p, c.c_char_p, c.c_int, c.c_int]
     lib.dmt_ctx_finalize.argtypes = [c.c_void_p]
+    lib.dmt_lookup_batch.argtypes = [
+        c.c_void_p, c.c_int, c.c_char_p, c.POINTER(c.c_int64), c.c_int64,
+        c.POINTER(c.c_int32)]
     lib.dmt_scan_tfrecord.restype = c.c_int64
     lib.dmt_scan_tfrecord.argtypes = [
         c.c_char_p, c.c_int64, c.POINTER(c.c_int64), c.POINTER(c.c_int64),
@@ -127,7 +130,28 @@ class NativeAssembler:
             lib.dmt_ctx_add_feature(self._ctx, f.name.encode(), f.max_len,
                                     table)
         lib.dmt_ctx_finalize(self._ctx)
+        self._feature_table = {
+            f.name: (-1 if f.name in ts_feats else table_ids[f.table])
+            for f in self.schema.id_features}
         self._lib = lib
+
+    def lookup_ids(self, feature: str, values: list[bytes]) -> np.ndarray:
+        """Vectorized vocab/OOV/hash mapping of raw byte ids (serving
+        request path — one C call instead of len(values) Python dict
+        probes).  ``feature`` must not be a raw-int timestamp feature."""
+        table = self._feature_table[feature]
+        if table < 0:
+            raise ValueError(f"{feature} is a raw-int ts feature")
+        out = np.empty(len(values), np.int32)
+        if not values:
+            return out
+        blob = b"".join(values)
+        offs = np.zeros(len(values) + 1, np.int64)
+        np.cumsum([len(v) for v in values], out=offs[1:])
+        self._lib.dmt_lookup_batch(self._ctx, table, blob,
+                                   _ptr(offs, ctypes.c_int64), len(values),
+                                   _ptr(out, ctypes.c_int32))
+        return out
 
     def __del__(self):
         if getattr(self, "_ctx", None) and self._lib:
@@ -231,13 +255,16 @@ def scan_file(path: str) -> tuple[bytes, np.ndarray, np.ndarray]:
     with open(path, "rb") as f:
         blob = f.read()
     cap = max(16, len(blob) // 64)  # records are >=64B in practice
-    offs = np.zeros(cap, np.int64)
-    lens = np.zeros(cap, np.int64)
-    n = lib.dmt_scan_tfrecord(blob, len(blob), _ptr(offs, ctypes.c_int64),
-                              _ptr(lens, ctypes.c_int64), cap)
-    if n < 0:
-        raise IOError(f"corrupt TFRecord framing in {path}")
-    return blob, offs[:n], lens[:n]
+    while True:
+        offs = np.zeros(cap, np.int64)
+        lens = np.zeros(cap, np.int64)
+        n = lib.dmt_scan_tfrecord(blob, len(blob), _ptr(offs, ctypes.c_int64),
+                                  _ptr(lens, ctypes.c_int64), cap)
+        if n < 0:
+            raise IOError(f"corrupt TFRecord framing in {path}")
+        if n < cap:  # n == cap => the scan may have hit the cap mid-file
+            return blob, offs[:n], lens[:n]
+        cap *= 4
 
 
 def native_batch_stream(

@@ -82,12 +82,42 @@ class ServingPreprocessor:
     are single-user and broadcast to every row (reference
     online_build_sparsetensor tiling)."""
 
-    def __init__(self, cfg: DMTConfig, schema: Optional[FeatureSchema] = None):
+    def __init__(self, cfg: DMTConfig, schema: Optional[FeatureSchema] = None,
+                 use_native: bool = True):
         self.cfg = cfg
         self.schema = schema or FeatureSchema.from_config(cfg)
         self.vocabs = VocabSet(cfg.embeddings + cfg.embeddings_bias,
                                cfg.vocab_path)
         self.ts_features = set(cfg.attention_ts)
+        # native batch id mapping: one C call per feature instead of one
+        # Python dict probe per id (request assembly 13.5 -> ~2 ms at 300
+        # candidates); identical indices asserted by tests/test_export.py
+        self._native = None
+        if use_native:
+            try:
+                from ..data.native import NativeAssembler
+                self._native = NativeAssembler(cfg, schema=self.schema,
+                                               vocabs=self.vocabs,
+                                               num_threads=1)
+            except Exception:  # g++ missing / build failure -> python path
+                self._native = None
+
+    def _map_ids(self, f, vals: list) -> np.ndarray:
+        """Raw id values -> int32 indices (vocab/OOV/hash or raw-int ts)."""
+        if f.name in self.ts_features:
+            def ts(v) -> int:
+                try:
+                    return min(int(float(v)), 2**31 - 1)
+                except ValueError:
+                    return 0
+            return np.fromiter((ts(v) for v in vals), np.int32, len(vals))
+        as_bytes = [v if isinstance(v, bytes) else str(v).encode()
+                    for v in vals]
+        if self._native is not None:
+            return self._native.lookup_ids(f.name, as_bytes)
+        vocab = self.vocabs.by_feature[f.name]
+        return np.fromiter((vocab.lookup_one(v) for v in as_bytes),
+                           np.int32, len(as_bytes))
 
     def assemble(self, batch_size: int,
                  id_values: dict[str, list[bytes]],
@@ -102,38 +132,37 @@ class ServingPreprocessor:
             out["raw_features"] = np.asarray(raw_features, np.float32)
         for f in self.schema.id_features:
             vals = id_values.get(f.name, [])
-            wts = list(id_wts.get(f.name, [1.0] * len(vals)))
-
-            def to_index(v) -> int:
-                if f.name in self.ts_features:
-                    try:
-                        return min(int(float(v)), 2**31 - 1)
-                    except ValueError:
-                        return 0
-                vocab = self.vocabs.by_feature[f.name]
-                return vocab.lookup_one(
-                    v if isinstance(v, bytes) else str(v).encode())
+            wts = id_wts.get(f.name)
 
             if f.side == "u":
                 # single-user sequence: map once, tile across the batch
                 k = min(len(vals), f.max_len)
                 ids_row = np.zeros((f.max_len,), np.int32)
                 wts_row = np.zeros((f.max_len,), np.float32)
-                for j in range(k):
-                    ids_row[j] = to_index(vals[j])
-                    wts_row[j] = wts[j] if j < len(wts) else 1.0
+                ids_row[:k] = self._map_ids(f, vals[:k])
+                if wts is None:
+                    wts_row[:k] = 1.0
+                else:
+                    kw = min(k, len(wts))
+                    wts_row[:kw] = wts[:kw]
+                    wts_row[kw:k] = 1.0
                 out[f.name + IDS] = np.tile(ids_row, (batch_size, 1))
                 out[f.name + WTS] = np.tile(wts_row, (batch_size, 1))
                 out[f.name + LEN] = np.full((batch_size,), k, np.int32)
             else:
                 # i-side: one value per request row
+                k = min(len(vals), batch_size)
                 per = np.zeros((batch_size, f.max_len), np.int32)
                 perw = np.zeros((batch_size, f.max_len), np.float32)
                 perl = np.zeros((batch_size,), np.int32)
-                for i in range(min(len(vals), batch_size)):
-                    per[i, 0] = to_index(vals[i])
-                    perw[i, 0] = wts[i] if i < len(wts) else 1.0
-                    perl[i] = 1
+                per[:k, 0] = self._map_ids(f, vals[:k])
+                if wts is None:
+                    perw[:k, 0] = 1.0
+                else:
+                    kw = min(k, len(wts))
+                    perw[:kw, 0] = wts[:kw]
+                    perw[kw:k, 0] = 1.0
+                perl[:k] = 1
                 out[f.name + IDS] = per
                 out[f.name + WTS] = perw
                 out[f.name + LEN] = perl

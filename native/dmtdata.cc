@@ -559,6 +559,19 @@ int dmt_ctx_add_feature(void* p, const char* name, int max_len, int table) {
 
 void dmt_ctx_finalize(void* p) { static_cast<Ctx*>(p)->Finalize(); }
 
+// Batch vocab/OOV/hash id mapping for the serving request path: values is
+// the concatenation of n raw byte ids, offsets its n+1 boundaries.  Same
+// Table::Lookup semantics as batch parsing (data/vocab.py lookup_one).
+void dmt_lookup_batch(void* p, int table, const uint8_t* values,
+                      const int64_t* offsets, int64_t n, int32_t* out) {
+  auto* ctx = static_cast<Ctx*>(p);
+  const Table& t = ctx->tables[table];
+  for (int64_t i = 0; i < n; ++i) {
+    out[i] = t.Lookup(values + offsets[i],
+                      static_cast<size_t>(offsets[i + 1] - offsets[i]));
+  }
+}
+
 // Scan TFRecord framing in a file blob: fills offsets/lengths of payloads.
 // Returns record count, or -1 on framing error.
 int64_t dmt_scan_tfrecord(const uint8_t* blob, int64_t blob_len,

@@ -79,6 +79,30 @@ class TestServingPreprocessor:
         assert batch["clk_seq_ts_7d_50" + IDS][0, 0] == 1024
         assert batch["clk_seq_ts_7d_50" + IDS][0, 1] == 0
 
+    def test_native_lookup_matches_python(self):
+        """The C dmt_lookup_batch request path and the python VocabSet
+        path must produce identical assembled batches (vocab hit, OOV
+        bucket, FNV-hash table, ts raw ints, partial weights)."""
+        cfg = make_demo_config()
+        nat = ServingPreprocessor(cfg)
+        py = ServingPreprocessor(cfg, use_native=False)
+        assert nat._native is not None and py._native is None
+        req = dict(
+            id_values={
+                "clk_seq_sku_7d_50": [b"24741889990", b"no-such-sku-xyz"],
+                "clk_seq_c3_7d_50": [b"9728", b"1349", b"zz-oov"],
+                "clk_seq_ts_7d_50": [b"77", b"bad"],
+                "item_fea_sku": [b"1", b"2", b"3"],
+                "item_c3": [b"9728", b"definitely-oov", b"1349"],
+            },
+            id_wts={"clk_seq_c3_7d_50": [0.5]},  # shorter than ids -> pad 1.0
+        )
+        a = nat.assemble(3, **req)
+        b = py.assemble(3, **req)
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
 
 @needs_demo_data
 class TestExportRoundtrip:
