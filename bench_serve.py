@@ -42,9 +42,11 @@ def newest_export(model_path: str) -> str:
     return dirs[-1]
 
 
-def build_request(prep, rng, b: int) -> dict:
+def build_raw_request(rng, b: int):
     """One user (50-deep click history, 10-deep order/cart histories)
-    reranking ``b`` candidate items."""
+    reranking ``b`` candidate items — raw wire inputs only, so the
+    assembly timer below measures ServingPreprocessor.assemble and not
+    this harness's random request generation."""
     def seq(n, lo, hi):
         return [str(x).encode() for x in rng.integers(lo, hi, n)]
 
@@ -78,7 +80,7 @@ def build_request(prep, rng, b: int) -> dict:
         "item_shop": seq(b, 1, 800000),
     }
     raw = np.abs(rng.normal(size=(b, 615))).astype(np.float32)
-    return prep.assemble(b, id_values=id_values, raw_features=raw)
+    return id_values, raw
 
 
 def main() -> None:
@@ -96,9 +98,15 @@ def main() -> None:
     prep = ServingPreprocessor(cfg)
     rng = np.random.default_rng(0)
 
+    id_values, raw = build_raw_request(rng, B)
+    # production path: ship [1, L] u-side rows, tile on device in the jit
+    batch = prep.assemble(B, id_values=id_values, raw_features=raw,
+                          tile_uside=False)  # warm
     t0 = time.perf_counter()
-    batch = build_request(prep, rng, B)
-    t_assemble = (time.perf_counter() - t0) * 1e3
+    for _ in range(20):
+        batch = prep.assemble(B, id_values=id_values, raw_features=raw,
+                              tile_uside=False)
+    t_assemble = (time.perf_counter() - t0) / 20 * 1e3
 
     t0 = time.perf_counter()
     out = scorer(batch)
@@ -123,6 +131,10 @@ def main() -> None:
                                 scorer.scale, scorer.const_vec)
         b = {k: jnp.asarray(v) for k, v in batch.items()}
         b["features"] = feats
+        bsz = b["valid"].shape[0]
+        b = {k: (jnp.broadcast_to(v, (bsz,) + v.shape[1:])
+                 if v.ndim >= 1 and v.shape[0] == 1 and bsz > 1 else v)
+             for k, v in b.items()}
         with jax.disable_jit():
             o, _ = scorer.model.apply(scorer.params, scorer.model_state, b,
                                       train=False, is_predict=True)

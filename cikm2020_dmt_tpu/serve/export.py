@@ -122,7 +122,8 @@ class ServingPreprocessor:
     def assemble(self, batch_size: int,
                  id_values: dict[str, list[bytes]],
                  id_wts: Optional[dict[str, list[float]]] = None,
-                 raw_features: Optional[np.ndarray] = None) -> dict:
+                 raw_features: Optional[np.ndarray] = None,
+                 tile_uside: bool = True) -> dict:
         id_wts = id_wts or {}
         out: dict[str, np.ndarray] = {
             "valid": np.ones((batch_size,), np.float32),
@@ -146,9 +147,13 @@ class ServingPreprocessor:
                     kw = min(k, len(wts))
                     wts_row[:kw] = wts[:kw]
                     wts_row[kw:k] = 1.0
-                out[f.name + IDS] = np.tile(ids_row, (batch_size, 1))
-                out[f.name + WTS] = np.tile(wts_row, (batch_size, 1))
-                out[f.name + LEN] = np.full((batch_size,), k, np.int32)
+                # tile_uside=False ships [1, L] rows and lets the jitted
+                # Scorer broadcast on device (the reference tiles in-graph,
+                # export_model.py:58-99) — ~B x fewer host bytes per request
+                rows = batch_size if tile_uside else 1
+                out[f.name + IDS] = np.tile(ids_row, (rows, 1))
+                out[f.name + WTS] = np.tile(wts_row, (rows, 1))
+                out[f.name + LEN] = np.full((rows,), k, np.int32)
             else:
                 # i-side: one value per request row
                 k = min(len(vals), batch_size)
@@ -190,6 +195,12 @@ class Scorer:
                                     self.scale, self.const_vec)
             b = dict(batch)
             b["features"] = feats
+            # in-graph u-side tiling: [1, ...] features broadcast to the
+            # request batch (reference export_model.py:58-99 semantics)
+            bsz = b["valid"].shape[0]
+            b = {k: (jnp.broadcast_to(v, (bsz,) + v.shape[1:])
+                     if v.ndim >= 1 and v.shape[0] == 1 and bsz > 1 else v)
+                 for k, v in b.items()}
             out, _ = model.apply(params, mstate, b, train=False,
                                  is_predict=True)
             p_ctr, p_cvr = scores_from_logits(cfg, out, rel_only=True)

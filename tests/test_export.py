@@ -119,9 +119,7 @@ class TestExportRoundtrip:
         scorer = load_scorer(cfg, export_dir)
         prep = ServingPreprocessor(cfg)
         B = 4
-        batch = prep.assemble(
-            B,
-            id_values={
+        batch_ids = {
                 "item_fea_sku": [b"1", b"2", b"3", b"4"],
                 "item_c2": [b"1584"] * B,
                 "item_c3": [b"13760"] * B,
@@ -147,9 +145,11 @@ class TestExportRoundtrip:
                 "cart_seq_brand_12m_10": [b"235028"],
                 "cart_seq_shop_12m_10": [b"647108"],
                 "cart_seq_ts_12m_10": [b"6648465"],
-            },
-            raw_features=np.abs(np.random.default_rng(0).normal(
-                size=(B, 615))).astype(np.float32))
+        }
+        batch_raw = np.abs(np.random.default_rng(0).normal(
+            size=(B, 615))).astype(np.float32)
+        batch = prep.assemble(B, id_values=batch_ids,
+                              raw_features=batch_raw)
         out = scorer(batch)
         assert out["Scores"].shape == (B,)
         assert np.isfinite(out["Scores"]).all()
@@ -158,3 +158,14 @@ class TestExportRoundtrip:
         w = cfg.export_weight
         want = (w[0] * out["click_Scores"] + w[1] * out["order_Scores"]) / sum(w)
         np.testing.assert_allclose(out["Scores"], want, rtol=1e-6)
+
+        # device-tiled request path ([1, L] u-side rows broadcast in-graph,
+        # reference export_model.py:58-99) scores identically
+        untiled = prep.assemble(
+            B, id_values=batch_ids, raw_features=batch_raw,
+            tile_uside=False)
+        for f in prep.schema.id_features:
+            if f.side == "u":
+                assert untiled[f.name + IDS].shape[0] == 1
+        out2 = scorer(untiled)
+        np.testing.assert_allclose(out2["Scores"], out["Scores"], rtol=1e-6)
