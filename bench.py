@@ -42,7 +42,11 @@ def main() -> None:
     cfg = g._demo_config(sku_rows=5_000_000, batch_size=BATCH,
                          validate_step=10**9,
                          compute_dtype=os.environ.get("DMT_BENCH_DTYPE",
-                                                      "bfloat16"))
+                                                      "bfloat16"),
+                         # A/B hook: DMT_TABLE_BF16_ROWS=1000000 stores the
+                         # 5M-row Sku table in bf16 (halved gather bytes)
+                         table_bf16_threshold=int(
+                             os.environ.get("DMT_TABLE_BF16_ROWS", "0")))
     trainer = Trainer(cfg)
     tstate = trainer.shard_state(trainer.init_state())
     step_fn = trainer._train_step()

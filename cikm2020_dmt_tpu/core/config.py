@@ -337,6 +337,15 @@ class DMTConfig:
     # cotangent) costs more than the scatter it saves (measured)
     packed_tables: bool = True
     pack_rows_threshold: int = 500_000
+    # store embedding tables with >= this many logical rows in bfloat16:
+    # halves the HBM bytes of the dominant gather/grid traffic (the step
+    # is memory-bound, not FLOP-bound).  Update math stays exact: the
+    # lazy-Adam moments are f32, the row update computes in f32 and
+    # rounds once to bf16 on write-back, and the union-grid backward
+    # accumulates its segment-sum in f32.  0 = off (default — flip after
+    # an on-chip A/B; pair with lazy_adam: the dense optax path would
+    # lose small updates to bf16 param += rounding)
+    table_bf16_threshold: int = 0
     mesh_data: int = 0   # 0 = auto: all devices not used by the model axis
     mesh_model: int = 1
     # host input pipeline: concurrent batch assemblers (the C++ parse

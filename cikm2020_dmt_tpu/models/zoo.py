@@ -59,9 +59,11 @@ class BaseModel:
         self.engine = EmbeddingEngine(cfg)
 
     def _emb_init(self, rng, specs):
-        return collection_init(rng, specs, self.dtype,
-                               packed=self.cfg.packed_tables,
-                               pack_rows_threshold=self.cfg.pack_rows_threshold)
+        return collection_init(
+            rng, specs, self.dtype,
+            packed=self.cfg.packed_tables,
+            pack_rows_threshold=self.cfg.pack_rows_threshold,
+            bf16_rows_threshold=self.cfg.table_bf16_threshold)
 
     def _cast(self, x):
         return x.astype(self.compute_dtype)

@@ -78,8 +78,14 @@ def unpack_table(packed: jnp.ndarray, rows: int, dim: int) -> jnp.ndarray:
 
 def collection_init(rng, specs: tuple[EmbeddingSpec, ...], dtype=jnp.float32,
                     packed: bool = False,
-                    pack_rows_threshold: int = 0) -> Params:
-    """One table per distinct table name (shared across features)."""
+                    pack_rows_threshold: int = 0,
+                    bf16_rows_threshold: int = 0) -> Params:
+    """One table per distinct table name (shared across features).
+
+    ``bf16_rows_threshold`` > 0 stores tables with at least that many
+    logical rows in bfloat16 (cfg.table_bf16_threshold): the train step
+    is HBM-bound on row gathers, so halving the big tables' bytes halves
+    their traffic; update math stays f32 (train/lazy.py)."""
     tables: Params = {}
     names = []
     for spec in specs:
@@ -90,7 +96,9 @@ def collection_init(rng, specs: tuple[EmbeddingSpec, ...], dtype=jnp.float32,
     out: Params = {}
     for i, name in enumerate(names):
         rows, dim = tables[name]
-        t = table_init(keys[i], rows, dim, dtype)
+        tdtype = (jnp.bfloat16
+                  if 0 < bf16_rows_threshold <= rows else dtype)
+        t = table_init(keys[i], rows, dim, tdtype)
         if packed and rows >= pack_rows_threshold:
             t = pack_table(t)
         out[name] = t

@@ -665,7 +665,8 @@ def _dma_grid_gather_wanted(rows_ext: jnp.ndarray) -> bool:
     import os
     return (os.environ.get("DMT_DMA_GRID_GATHER", "0") == "1"
             and jax.default_backend() == "tpu"
-            and rows_ext.shape[-1] % 128 == 0)
+            and rows_ext.shape[-1] % 128 == 0
+            and rows_ext.dtype == jnp.float32)  # f32-verified only
 
 
 @jax.custom_vjp
@@ -693,8 +694,10 @@ def _take_rows_sparse_fwd(rows_ext, pos):
 def _take_rows_sparse_bwd(res, g):
     pos, num_slots = res
     d = g.shape[-1]
-    g_rows = jax.ops.segment_sum(g.reshape(-1, d), pos.reshape(-1),
-                                 num_segments=num_slots)
+    # bf16 grids accumulate in f32 (one rounding at the end); no-op for f32
+    g_rows = jax.ops.segment_sum(
+        g.reshape(-1, d).astype(jnp.float32), pos.reshape(-1),
+        num_segments=num_slots).astype(g.dtype)
     return g_rows, None
 
 
@@ -734,12 +737,14 @@ def _take_rows_sparse_sorted_bwd(res, g):
     pos, order, seg_sorted, num_slots = res
     d = g.shape[-1]
     gf = g.reshape(-1, d)
-    if _dma_bwd_wanted(d):
+    if _dma_bwd_wanted(d) and gf.dtype == jnp.float32:
         g_sorted = gather_rows(gf, order)
         g_rows = sorted_segment_sum_rows(g_sorted, seg_sorted, num_slots)
     else:
-        g_rows = jax.ops.segment_sum(gf, pos.reshape(-1),
-                                     num_segments=num_slots)
+        # bf16 grids accumulate in f32 (one rounding at the end)
+        g_rows = jax.ops.segment_sum(
+            gf.astype(jnp.float32), pos.reshape(-1),
+            num_segments=num_slots).astype(gf.dtype)
     return g_rows, None, None, None
 
 

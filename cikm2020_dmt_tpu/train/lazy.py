@@ -258,12 +258,17 @@ def lazy_adam_rows(table: jnp.ndarray, mv: jnp.ndarray,
     safe = jnp.minimum(uids, table.shape[0] - 1)
     mvu = jnp.take(mv, safe, axis=0, indices_are_sorted=True)
     mu, vu = mvu[:, :d], mvu[:, d:]
-    m_new = b1 * mu + (1.0 - b1) * g_rows
-    v_new = b2 * vu + (1.0 - b2) * (g_rows * g_rows)
+    # bf16 tables (cfg.table_bf16_threshold) store rows/grads in bf16;
+    # the update math runs in f32 against the f32 moments and rounds
+    # once to the table dtype on write-back
+    g32 = g_rows.astype(jnp.float32)
+    m_new = b1 * mu + (1.0 - b1) * g32
+    v_new = b2 * vu + (1.0 - b2) * (g32 * g32)
     c = count.astype(jnp.float32)
     mhat = m_new / (1.0 - jnp.power(b1, c))
     vhat = v_new / (1.0 - jnp.power(b2, c))
-    p_new = rows - lr * mhat / (jnp.sqrt(vhat) + eps)
+    p_new = (rows.astype(jnp.float32)
+             - lr * mhat / (jnp.sqrt(vhat) + eps)).astype(table.dtype)
     mv_new = jnp.concatenate([m_new, v_new], axis=1)
     # Write-back: on TPU, a Pallas per-row HBM->HBM DMA kernel
     # (ops/scatter_rows.update_rows, in-place via input_output_aliases).
@@ -275,7 +280,10 @@ def lazy_adam_rows(table: jnp.ndarray, mv: jnp.ndarray,
     # producer fusion, OOB sentinel tail, 16MB scoped-VMEM pressure —
     # scripts/update_rows_bench.py).  The DMA kernel measures ~0.04 ms at
     # the same U and is immune to MSA's operand placement.
-    if jax.default_backend() == "tpu" and table.shape[1] % 128 == 0:
+    # the DMA write-back kernel is f32-verified only; bf16 tables use the
+    # XLA scatter until the 16-bit row variant is validated on hardware
+    if (jax.default_backend() == "tpu" and table.shape[1] % 128 == 0
+            and table.dtype == jnp.float32):
         import os
 
         from ..ops.scatter_rows import update_rows

@@ -160,6 +160,18 @@ class Trainer:
         from .lazy import build_lazy_plan
         from .optim import piecewise_constant
         self.lazy_plan = build_lazy_plan(cfg, self.mesh, self.model.engine)
+        if cfg.table_bf16_threshold > 0:
+            # bf16 tables outside the lazy plan fall to the dense optax
+            # path, where bf16 `param += tiny update` flushes small steps
+            lazy_names = {t.name for t in self.lazy_plan}
+            loose = {s.table for s in cfg.embeddings
+                     if s.id_size >= cfg.table_bf16_threshold
+                     and s.table not in lazy_names}
+            if loose:
+                log_line(f"WARNING: bf16 tables {sorted(loose)} are not "
+                         "lazy-Adam managed (table_bf16_threshold should "
+                         "pair with lazy_adam); small updates may round "
+                         "to zero in the dense optax path")
         self._schedule = piecewise_constant(cfg.step_boundary,
                                             cfg.learning_rate)
         self.loss_fn = make_loss_fn(cfg, self.model)
@@ -193,11 +205,13 @@ class Trainer:
             # untouched rows keep state across steps (LazyAdam semantics);
             # m and v lane-concatenated as [R, 2*D] (one gather/scatter per
             # step instead of two — see lazy_adam_rows)
+            # moments stay f32 even for bf16 tables (table_bf16_threshold):
+            # v accumulates tiny squared gradients that bf16 would flush
             state["lazy_opt"] = {
                 t.name: {"mv": jnp.zeros(
                     (params["emb"][t.name].shape[0],
                      2 * params["emb"][t.name].shape[1]),
-                    params["emb"][t.name].dtype)}
+                    jnp.float32)}
                 for t in self.lazy_plan}
             state["lazy_overflow"] = jnp.zeros((), jnp.int32)
         return state

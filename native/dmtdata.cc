@@ -151,6 +151,7 @@ struct FlatMap {
 
   // Caller supplies the precomputed FNV-1a hash of (key, n).
   inline int32_t Find(const uint8_t* key, size_t n, uint64_t h) const {
+    if (val_.empty()) return -1;
     size_t i = h & mask;
     while (val_[i] >= 0) {
       if (h_[i] == h && klen_[i] == n &&

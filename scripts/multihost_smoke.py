@@ -74,17 +74,26 @@ def worker(process_id: int) -> None:
     # template and re-shards — the same path Trainer.train takes on resume.
     from cikm2020_dmt_tpu.core.checkpoint import CheckpointManager
     ckpt_dir = os.environ["SMOKE_CKPT_DIR"]
+
+    def mark(msg):  # progress markers (both tasks) for hang debugging
+        print(f"[smoke p{process_id}] {msg}", file=sys.stderr, flush=True)
+
+    mark(f"3 steps done, loss={loss:.4f}")
     ckpt = CheckpointManager(ckpt_dir)
     ckpt.save(3, tstate)
+    mark("save done")
     assert ckpt.has_step(3), "DONE marker missing after multiprocess save"
     template = jax.tree_util.tree_map(np.asarray, trainer.init_state())
+    mark("template built")
     restored = trainer.shard_state(ckpt.restore(3, template))
+    mark("restore + reshard done")
     # continue one identical step from the live and the restored state:
     # losses must match exactly (CPU arithmetic is deterministic)
     rng4 = jax.random.fold_in(jax.random.PRNGKey(0), 3)
     _, _, loss_live = step_fn(tstate, task_metrics_init(), dev_batch, rng4)
     _, _, loss_res = step_fn(restored, task_metrics_init(), dev_batch, rng4)
     loss_live, loss_res = float(loss_live), float(loss_res)
+    mark("resume steps done")
 
     if process_id == 0:
         assert loss == loss and abs(loss) < 1e6, f"bad loss {loss}"
@@ -111,7 +120,7 @@ def main() -> None:
              "--process_id", str(pid)],
             env=env,
             stdout=None if pid == 0 else subprocess.DEVNULL,
-            stderr=subprocess.STDOUT if pid == 0 else subprocess.DEVNULL))
+            stderr=None))
     codes = [p.wait(timeout=600) for p in procs]
     if any(codes):
         raise SystemExit(f"worker exit codes {codes}")

@@ -35,5 +35,7 @@ run bench_gg env DMT_DMA_GRID_GATHER=1 python bench.py
 run bench_bwd env DMT_DMA_BWD=1 python bench.py
 run bench_mv env DMT_DMA_MV=1 python bench.py
 run bench_both env DMT_DMA_GRID_GATHER=1 DMT_DMA_BWD=1 DMT_DMA_MV=1 python bench.py
+# bf16 big tables: halves the Sku gather/grid HBM bytes (update math f32)
+run bench_bf16 env DMT_TABLE_BF16_ROWS=1000000 python bench.py
 run trace python scripts/trace_step.py
 run serve python bench_serve.py

@@ -290,3 +290,57 @@ class TestOverflowExactForward:
         pos = np.asarray(col.pos)
         U = col.rows.shape[0]
         assert g.sum() == pytest.approx((pos < U).sum() * table.shape[1])
+
+
+class TestBf16Tables:
+    """cfg.table_bf16_threshold: big tables stored bfloat16, update math
+    f32 (nn/embedding.collection_init + train/lazy.lazy_adam_rows)."""
+
+    BKW = dict(KW, table_bf16_threshold=1000)
+
+    def test_dtypes_and_update(self):
+        cfg = g._demo_config(**self.BKW)
+        batch = g.synthetic_batch(cfg, 64)
+        tr = Trainer(cfg, mesh=one_dev_mesh())
+        assert any(t.name == "Sku" for t in tr.lazy_plan)
+        ts0 = tr.shard_state(tr.init_state())
+        emb0 = {k: np.asarray(v) for k, v in ts0["params"]["emb"].items()}
+        # threshold: Sku (4096 rows) bf16, Cid2 (500) stays param_dtype
+        assert ts0["params"]["emb"]["Sku"].dtype == jnp.bfloat16
+        assert ts0["params"]["emb"]["Cid2"].dtype == jnp.float32
+        # moments stay f32 regardless of the table dtype
+        assert ts0["lazy_opt"]["Sku"]["mv"].dtype == jnp.float32
+
+        _, ts, loss = run_steps(cfg, [batch], 2)
+        assert np.isfinite(loss)
+        sku = np.asarray(ts["params"]["emb"]["Sku"])
+        assert sku.dtype == np.dtype("bfloat16") or sku.dtype.name == "bfloat16"
+        # touched rows moved; the table kept its dtype through the update
+        assert (sku != emb0["Sku"]).any()
+        assert ts["params"]["emb"]["Sku"].dtype == jnp.bfloat16
+
+    def test_step_close_to_f32(self):
+        """Same f32-initialized params, big table cast to bf16: one train
+        step's loss must track the f32 run within bf16 tolerance."""
+        cfg = g._demo_config(**KW)
+        batch = g.synthetic_batch(cfg, 64)
+        tr = Trainer(cfg, mesh=one_dev_mesh())
+        ts = tr.shard_state(tr.init_state())
+        step = tr._train_step()
+        rng = jax.random.key(0, impl="rbg")
+        b = tr.device_batch(g._as_batch(batch))
+        _, _, loss32 = step(ts, task_metrics_init(), b,
+                            jax.random.fold_in(rng, 0))
+
+        ts_b = tr.shard_state(tr.init_state())
+        ts_b["params"]["emb"]["Sku"] = (
+            ts_b["params"]["emb"]["Sku"].astype(jnp.bfloat16))
+        step_b = tr._train_step()
+        _, _, loss16 = step_b(ts_b, task_metrics_init(), b,
+                              jax.random.fold_in(rng, 0))
+        assert float(loss16) == pytest.approx(float(loss32), rel=2e-2)
+
+    def test_warns_without_lazy_plan(self, capsys):
+        cfg = g._demo_config(lazy_adam=False, **self.BKW)
+        Trainer(cfg, mesh=one_dev_mesh())
+        assert "bf16 tables" in capsys.readouterr().out
