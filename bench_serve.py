@@ -126,15 +126,14 @@ def main() -> None:
     from cikm2020_dmt_tpu.serve.export import normalize_dense
     from cikm2020_dmt_tpu.train.losses import scores_from_logits
 
+    from cikm2020_dmt_tpu.serve.export import broadcast_uside
+
     def eager(batch):
         feats = normalize_dense(jnp.asarray(batch["raw_features"]),
                                 scorer.scale, scorer.const_vec)
         b = {k: jnp.asarray(v) for k, v in batch.items()}
         b["features"] = feats
-        bsz = b["valid"].shape[0]
-        b = {k: (jnp.broadcast_to(v, (bsz,) + v.shape[1:])
-                 if v.ndim >= 1 and v.shape[0] == 1 and bsz > 1 else v)
-             for k, v in b.items()}
+        b = broadcast_uside(b, scorer.uside, b["valid"].shape[0])
         with jax.disable_jit():
             o, _ = scorer.model.apply(scorer.params, scorer.model_state, b,
                                       train=False, is_predict=True)

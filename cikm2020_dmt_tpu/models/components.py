@@ -384,6 +384,10 @@ def bias_net_init(rng, cfg: DMTConfig, dtype=jnp.float32) -> Params:
     mlp, _ = mlp_init(mk, bias_combiner_dim(cfg), cfg.hidden_units_bias,
                       cfg.output_units, out_bias_init=0.0,
                       hidden_bias_init=0.0, w_init=g, dtype=dtype)
+    # bias-net tables deliberately ignore table_bf16_threshold: they are
+    # dense-optax managed (never in the lazy plan), exactly the case where
+    # bf16 `param += tiny update` flushes small steps — and they are
+    # 5-dim/small, so there are no gather bytes worth saving
     return {"emb": collection_init(ek, cfg.embeddings_bias, dtype,
                                    packed=cfg.packed_tables,
                                    pack_rows_threshold=cfg.pack_rows_threshold),

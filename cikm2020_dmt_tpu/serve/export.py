@@ -99,7 +99,10 @@ class ServingPreprocessor:
                 self._native = NativeAssembler(cfg, schema=self.schema,
                                                vocabs=self.vocabs,
                                                num_threads=1)
-            except Exception:  # g++ missing / build failure -> python path
+            except Exception as e:  # g++ missing / build failure
+                from ..core.logging import log_line
+                log_line(f"serving native id mapping unavailable ({e!r}); "
+                         "python fallback (~2.6x slower assembly)")
                 self._native = None
 
     def _map_ids(self, f, vals: list) -> np.ndarray:
@@ -174,6 +177,27 @@ class ServingPreprocessor:
         return out
 
 
+def uside_keys(schema: FeatureSchema) -> frozenset:
+    """Batch keys holding single-user (u-side) features — the ones the
+    in-graph tiling may broadcast across the request batch."""
+    return frozenset(
+        f.name + suffix
+        for f in schema.id_features if f.side == "u"
+        for suffix in (IDS, WTS, LEN))
+
+
+def broadcast_uside(batch: dict, keys: frozenset, bsz: int) -> dict:
+    """In-graph u-side tiling: [1, ...] u-side features broadcast to the
+    request batch (reference export_model.py:58-99 semantics).  Only
+    schema-designated u-side keys broadcast — a mistakenly [1, ...]
+    i-side input (e.g. raw_features for one candidate) still shape-errors
+    in the model instead of silently scoring one row 300 times."""
+    return {k: (jnp.broadcast_to(v, (bsz,) + v.shape[1:])
+                if k in keys and v.ndim >= 1 and v.shape[0] == 1
+                and bsz > 1 else v)
+            for k, v in batch.items()}
+
+
 class Scorer:
     """Jitted scoring callable over an exported bundle."""
 
@@ -188,6 +212,7 @@ class Scorer:
         w = cfg.export_weight
         self._wsum = float(sum(w))
         self._w = w
+        self.uside = uside_keys(self.model.schema)
         model = self.model
 
         def score_fn(params, mstate, batch):
@@ -195,12 +220,7 @@ class Scorer:
                                     self.scale, self.const_vec)
             b = dict(batch)
             b["features"] = feats
-            # in-graph u-side tiling: [1, ...] features broadcast to the
-            # request batch (reference export_model.py:58-99 semantics)
-            bsz = b["valid"].shape[0]
-            b = {k: (jnp.broadcast_to(v, (bsz,) + v.shape[1:])
-                     if v.ndim >= 1 and v.shape[0] == 1 and bsz > 1 else v)
-                 for k, v in b.items()}
+            b = broadcast_uside(b, self.uside, b["valid"].shape[0])
             out, _ = model.apply(params, mstate, b, train=False,
                                  is_predict=True)
             p_ctr, p_cvr = scores_from_logits(cfg, out, rel_only=True)

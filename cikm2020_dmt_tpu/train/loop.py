@@ -164,9 +164,13 @@ class Trainer:
             # bf16 tables outside the lazy plan fall to the dense optax
             # path, where bf16 `param += tiny update` flushes small steps
             lazy_names = {t.name for t in self.lazy_plan}
-            loose = {s.table for s in cfg.embeddings
-                     if s.id_size >= cfg.table_bf16_threshold
-                     and s.table not in lazy_names}
+            # size each table the way collection_init does: first spec wins
+            sizes: dict = {}
+            for s in cfg.embeddings:
+                sizes.setdefault(s.table, s.id_size)
+            loose = {t for t, rows in sizes.items()
+                     if rows >= cfg.table_bf16_threshold
+                     and t not in lazy_names}
             if loose:
                 log_line(f"WARNING: bf16 tables {sorted(loose)} are not "
                          "lazy-Adam managed (table_bf16_threshold should "

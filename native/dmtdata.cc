@@ -136,8 +136,7 @@ struct FlatMap {
     while (val_[i] >= 0) {
       if (h_[i] == h && klen_[i] == n &&
           std::memcmp(blob.data() + koff_[i], key, n) == 0) {
-        val_[i] = value;  // overwrite (matches map semantics)
-        return;
+        return;  // first insert wins (emplace semantics the map had)
       }
       i = (i + 1) & mask;
     }
