@@ -70,6 +70,11 @@ def load_library():
     lib.dmt_lookup_batch.argtypes = [
         c.c_void_p, c.c_int, c.c_char_p, c.POINTER(c.c_int64), c.c_int64,
         c.POINTER(c.c_int32)]
+    lib.dmt_factorize_headers.restype = c.c_int64
+    lib.dmt_factorize_headers.argtypes = [
+        c.c_char_p, c.c_int64, c.c_int64, c.c_int, c.c_int, c.c_int,
+        c.POINTER(c.c_int64), c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+        c.POINTER(c.c_int64)]
     lib.dmt_scan_tfrecord.restype = c.c_int64
     lib.dmt_scan_tfrecord.argtypes = [
         c.c_char_p, c.c_int64, c.POINTER(c.c_int64), c.POINTER(c.c_int64),
@@ -247,6 +252,37 @@ class NativeAssembler:
         else:
             headers = [b""] * b
         return Batch(a, headers)
+
+
+def factorize_headers(header_schema, headers) -> Optional[tuple]:
+    """One-pass C parse of eval header lines: labels + first-occurrence
+    sid/uuid group codes (pd.factorize order), no Python string objects.
+
+    Returns (labels int64 [n], sid_codes int64 [n], uuid_codes int64 [n])
+    or None when the native path can't parse (short lines, embedded
+    newlines, build failure) — callers fall back to the pandas path
+    (metrics/offline._parse_headers), which this is code-for-code
+    equivalent to (asserted by tests/test_offline_metrics.py)."""
+    try:
+        lib = load_library()
+    except Exception:
+        return None
+    idx = {name: i for i, name in enumerate(header_schema)}
+    label_i, sid_i = idx["label"], idx["sid"]
+    uuid_i = idx.get("uuid", sid_i)
+    n = len(headers)
+    blob = b"\n".join(headers)
+    labels = np.empty(n, np.int64)
+    sid_codes = np.empty(n, np.int32)
+    uuid_codes = np.empty(n, np.int32)
+    n_uniq = np.zeros(2, np.int64)
+    r = lib.dmt_factorize_headers(
+        blob, len(blob), n, label_i, sid_i, uuid_i,
+        _ptr(labels, ctypes.c_int64), _ptr(sid_codes, ctypes.c_int32),
+        _ptr(uuid_codes, ctypes.c_int32), _ptr(n_uniq, ctypes.c_int64))
+    if r != n:
+        return None
+    return labels, sid_codes.astype(np.int64), uuid_codes.astype(np.int64)
 
 
 def scan_file(path: str) -> tuple[bytes, np.ndarray, np.ndarray]:

@@ -89,15 +89,39 @@ class ParsedHeaders:
     ``pd.factorize`` instead of sort-based ``np.unique`` on object
     strings).  Group-code ORDER differs from np.unique's lexicographic
     order, which is immaterial: every metric is a sum/mean over groups.
+
+    The preferred constructor is the native single-pass parse
+    (data/native.factorize_headers): labels + sid/uuid codes straight off
+    the joined byte blob, never materializing per-row Python strings.
+    The raw ``sids``/``uuids`` object columns (needed only by
+    offline_ext.save_scores_csv) are then parsed lazily on first access.
     """
 
-    __slots__ = ("labels", "sids", "uuids", "_codes")
+    __slots__ = ("labels", "_sids", "_uuids", "_codes", "_raw")
 
-    def __init__(self, labels, sids, uuids):
+    def __init__(self, labels, sids=None, uuids=None, codes=None, raw=None):
         self.labels = labels
-        self.sids = sids
-        self.uuids = uuids
-        self._codes: dict = {}
+        self._sids = sids
+        self._uuids = uuids
+        self._codes: dict = dict(codes or {})
+        self._raw = raw  # (header_schema, headers) for lazy sid/uuid parse
+
+    def _materialize(self):
+        schema, headers = self._raw
+        self.labels, self._sids, self._uuids = _parse_headers(schema, headers)
+        self._raw = None
+
+    @property
+    def sids(self):
+        if self._sids is None:
+            self._materialize()
+        return self._sids
+
+    @property
+    def uuids(self):
+        if self._uuids is None:
+            self._materialize()
+        return self._uuids
 
     def codes(self, group_by) -> np.ndarray:
         key = group_by if isinstance(group_by, str) else tuple(group_by)
@@ -122,6 +146,19 @@ def parse_headers(header_schema, headers) -> ParsedHeaders:
     ``ParsedHeaders``) — every public metric function accepts either."""
     if isinstance(headers, ParsedHeaders):
         return headers
+    if len(headers) >= 4096:
+        # native single-pass parse+factorize (no Python string objects);
+        # None on build failure or unparseable lines -> pandas fallback
+        try:
+            from ..data.native import factorize_headers
+            got = factorize_headers(header_schema, headers)
+        except Exception:
+            got = None
+        if got is not None:
+            labels, sid_codes, uuid_codes = got
+            return ParsedHeaders(
+                labels, codes={"sid": sid_codes, "uuid": uuid_codes},
+                raw=(header_schema, headers))
     return ParsedHeaders(*_parse_headers(header_schema, headers))
 
 

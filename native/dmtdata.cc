@@ -559,6 +559,63 @@ int dmt_ctx_add_feature(void* p, const char* name, int max_len, int table) {
 
 void dmt_ctx_finalize(void* p) { static_cast<Ctx*>(p)->Finalize(); }
 
+// One-pass header-column extraction + factorization for offline metrics
+// (metrics/offline.py ParsedHeaders): ``blob`` is the newline-joined
+// header lines of one eval split.  For every line, parse tab-separated
+// column ``label_field`` as an integer into labels[i], and map the byte
+// values of columns ``sid_field`` / ``uuid_field`` to dense int32 codes
+// in FIRST-OCCURRENCE order (pd.factorize semantics, so codes are
+// byte-identical to the pandas path the tests compare against).  Returns
+// the number of lines parsed, or -1 if it disagrees with n_expected.
+// n_uniq[0]/n_uniq[1] receive the sid/uuid unique counts.
+int64_t dmt_factorize_headers(const uint8_t* blob, int64_t blob_len,
+                              int64_t n_expected, int label_field,
+                              int sid_field, int uuid_field,
+                              int64_t* labels, int32_t* sid_codes,
+                              int32_t* uuid_codes, int64_t* n_uniq) {
+  FlatMap sid_map, uuid_map;
+  sid_map.Reserve(1024);
+  uuid_map.Reserve(1024);
+  auto code_of = [](FlatMap& m, const uint8_t* v, size_t n) -> int32_t {
+    uint64_t h = Fnv1a64(v, n);
+    int32_t got = m.Find(v, n, h);
+    if (got >= 0) return got;
+    int32_t code = static_cast<int32_t>(m.size);
+    m.Insert(v, n, code);
+    return code;
+  };
+  const int last =
+      std::max(label_field, std::max(sid_field, uuid_field));
+  int64_t row = 0;
+  int64_t i = 0;
+  while (i <= blob_len && row < n_expected) {
+    // line spans [i, eol)
+    int64_t eol = i;
+    while (eol < blob_len && blob[eol] != '\n') ++eol;
+    int field = 0;
+    int64_t s = i;
+    for (int64_t p = i; p <= eol && field <= last; ++p) {
+      if (p == eol || blob[p] == '\t') {
+        const uint8_t* v = blob + s;
+        size_t vn = static_cast<size_t>(p - s);
+        if (field == label_field) labels[row] = ParseIntBytes(v, vn);
+        if (field == sid_field) sid_codes[row] = code_of(sid_map, v, vn);
+        if (field == uuid_field) uuid_codes[row] = code_of(uuid_map, v, vn);
+        ++field;
+        s = p + 1;
+      }
+    }
+    if (field <= last) return -1;  // line too short for the schema
+    ++row;
+    i = eol + 1;
+    if (eol == blob_len) break;
+  }
+  if (row != n_expected || i < blob_len) return -1;
+  n_uniq[0] = static_cast<int64_t>(sid_map.size);
+  n_uniq[1] = static_cast<int64_t>(uuid_map.size);
+  return row;
+}
+
 // Batch vocab/OOV/hash id mapping for the serving request path: values is
 // the concatenation of n raw byte ids, offsets its n+1 boundaries.  Same
 // Table::Lookup semantics as batch parsing (data/vocab.py lookup_one).

@@ -175,3 +175,42 @@ class TestEmptySplit:
         schema = ["label", "sid", "uuid"]
         out = grouped_auc(schema, [], np.zeros(0))
         assert out == {CLICK: 0.0, ORDER: 0.0}
+
+
+class TestNativeHeaderFactorize:
+    def test_matches_pandas_path(self):
+        """data/native.factorize_headers must reproduce the pandas path's
+        labels and pd.factorize first-occurrence group codes exactly."""
+        from cikm2020_dmt_tpu.data.native import factorize_headers
+        rng = np.random.default_rng(7)
+        n = 6000  # above the 4096 bulk-path threshold
+        sids = rng.integers(0, 700, n)
+        uuids = rng.integers(0, 400, n)
+        labels = rng.integers(0, 6, n)
+        headers = _make_headers(sids, uuids, labels)
+
+        got = factorize_headers(SCHEMA, headers)
+        assert got is not None
+        glabels, gsid, guuid = got
+        plabels, psids, puuids = offline._parse_headers(SCHEMA, headers)
+        np.testing.assert_array_equal(glabels, plabels)
+        np.testing.assert_array_equal(gsid, pd.factorize(psids)[0])
+        np.testing.assert_array_equal(guuid, pd.factorize(puuids)[0])
+
+        # parse_headers wires the codes straight into ParsedHeaders and
+        # keeps the raw columns lazy
+        ph = offline.parse_headers(SCHEMA, headers)
+        np.testing.assert_array_equal(ph.codes("sid"), gsid)
+        np.testing.assert_array_equal(ph.codes("uuid"), guuid)
+        assert ph._sids is None  # not materialized by codes()
+        # save_scores_csv-style raw access still works (lazy fallback)
+        assert ph.sids[0] == str(sids[0])
+
+    def test_unparseable_lines_fall_back(self):
+        from cikm2020_dmt_tpu.data.native import factorize_headers
+        headers = [b"too\tshort"] * 5000
+        assert factorize_headers(SCHEMA, headers) is None
+        # parse_headers falls back to pandas/python without raising...
+        with pytest.raises(Exception):
+            # ...which then (correctly, like before) rejects short rows
+            offline.parse_headers(SCHEMA, headers)
