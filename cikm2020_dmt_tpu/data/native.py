@@ -28,7 +28,11 @@ from .vocab import VocabSet
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "dmtdata.cc"))
 
-HEADER_CAP = 1024  # max stored header bytes per example
+# Max stored header bytes per example: longer headers are TRUNCATED in
+# Batch.headers (production JD headers measure ~100-300B).  em_position /
+# em_page are immune — the C scanner parses them from the full record
+# value, not the truncated copy (tests/test_native.py header-cap test).
+HEADER_CAP = 1024
 
 
 def _build_library() -> str:

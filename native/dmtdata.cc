@@ -331,6 +331,10 @@ void ParseOneExample(const Ctx& ctx, const uint8_t* rec, size_t rec_len,
                      int row, BatchOut* out) {
   const uint8_t* buf = rec;
   size_t i = 0, n = rec_len;
+  // per-feature: did this record carry a non-empty Wts list?  (the
+  // 1.0-fill below keys on true absence, matching the python assembler's
+  // `if wts:` — genuinely all-zero weights must stay zero)
+  std::vector<uint8_t> wts_seen(ctx.features.size(), 0);
   while (i < n) {
     uint64_t tag;
     if (!ReadVarint(buf, n, &i, &tag)) return;
@@ -475,9 +479,10 @@ void ParseOneExample(const Ctx& ctx, const uint8_t* rec, size_t rec_len,
           const IdFeature& f = ctx.features[slot.idx];
           FeatureOut& fo = out->feats[slot.idx];
           if (vfield == 2) {
-            ParseFloatList(buf, body_start, body_end,
-                           fo.wts + static_cast<size_t>(row) * f.max_len,
-                           f.max_len);
+            int wn = ParseFloatList(
+                buf, body_start, body_end,
+                fo.wts + static_cast<size_t>(row) * f.max_len, f.max_len);
+            if (wn > 0) wts_seen[slot.idx] = 1;
           }
           break;
         }
@@ -485,8 +490,10 @@ void ParseOneExample(const Ctx& ctx, const uint8_t* rec, size_t rec_len,
     }
     i = feats_end;
   }
-  // Wts-absent fallback: present ids with no weights pool with weight 1.0,
-  // matching the python assembler (pipeline.py BatchAssembler.assemble).
+  // Wts-absent fallback: present ids whose record carried no (non-empty)
+  // weight list pool with weight 1.0, matching the python assembler
+  // (pipeline.py BatchAssembler.assemble `if wts:` — explicit all-zero
+  // weights stay zero; tests/test_native.py::TestFuzzParity).
   for (size_t f = 0; f < ctx.features.size(); ++f) {
     const IdFeature& feat = ctx.features[f];
     FeatureOut& fo = out->feats[f];
@@ -494,15 +501,7 @@ void ParseOneExample(const Ctx& ctx, const uint8_t* rec, size_t rec_len,
     float* w = fo.wts + static_cast<size_t>(row) * feat.max_len;
     // zero weights past the id count (python pads wts only to k)
     for (int c = cnt; c < feat.max_len; ++c) w[c] = 0.0f;
-    if (cnt <= 0) continue;
-    bool all_zero = true;
-    for (int c = 0; c < cnt; ++c) {
-      if (w[c] != 0.0f) {
-        all_zero = false;
-        break;
-      }
-    }
-    if (all_zero) {
+    if (cnt > 0 && !wts_seen[f]) {
       for (int c = 0; c < cnt; ++c) w[c] = 1.0f;
     }
   }

@@ -113,3 +113,114 @@ class TestNativeParity:
         native_eps = n / (time.perf_counter() - t0)
         # python reference pace measured ~340 ex/s; demand a big margin
         assert native_eps > 3000, f"native parse only {native_eps:.0f} ex/s"
+
+
+@needs_demo_data
+class TestFuzzParity:
+    """Randomized Example protos (missing fields, overlong lists, weight
+    mismatches, junk values, unknown features) must parse byte-identically
+    through the C++ and python assemblers."""
+
+    def _random_example(self, rng, schema, ts_feats):
+        feats = {}
+        # header: 13 tab-separated fields, sometimes long/junk/missing
+        r = rng.random()
+        if r > 0.1:
+            fields = [f"f{j}-{rng.integers(1e6)}" for j in range(13)]
+            fields[4] = str(rng.integers(-5, 500))     # pos (clipped 400)
+            fields[11] = str(rng.integers(-5, 200))    # page (clipped 100)
+            if r > 0.9:
+                fields[4] = "junk"                     # non-numeric pos
+            feats["header"] = [("\t".join(fields)).encode()]
+        if rng.random() > 0.05:
+            feats["label"] = [float(rng.integers(0, 6))]
+        if rng.random() > 0.05:
+            # fixed-len like dense: exactly num_classes, or more
+            feats["mask"] = list(rng.random(
+                int(rng.choice([schema.num_classes,
+                                schema.num_classes + 3]))).astype(float))
+        if rng.random() > 0.05:
+            # fixed-len contract (reference tf.FixedLenFeature): exactly
+            # dense_dim values, or more (both paths slice); never fewer
+            n_dense = int(rng.choice([schema.dense_dim,
+                                      schema.dense_dim + 40]))
+            feats["features"] = list(rng.random(n_dense).astype(float))
+        for f in schema.id_features:
+            r = rng.random()
+            if r < 0.15:
+                continue                               # feature absent
+            k = int(rng.integers(0, 2 * f.max_len))
+            if f.name in ts_feats:
+                vals = [str(rng.integers(-10, 10**7)).encode()
+                        for _ in range(k)]
+                if k and r > 0.9:
+                    vals[0] = b"notanumber"
+                if k and r > 0.95:
+                    vals[-1] = b"123.000000"
+            else:
+                vals = [f"id{rng.integers(1e9)}".encode() for _ in range(k)]
+                if k and r > 0.9:
+                    vals[0] = b""                      # empty id
+            feats[f.name] = vals
+            wr = rng.random()
+            if wr < 0.3:
+                pass                                   # no weights
+            elif wr < 0.5:
+                feats[f.name + "Wts"] = [0.0] * k      # all-zero -> 1.0 fill
+            else:
+                # reference sp_weights contract: >= as many weights as ids
+                m = k + int(rng.integers(0, 3))
+                feats[f.name + "Wts"] = list(
+                    rng.random(m).astype(float))
+        if rng.random() > 0.8:
+            feats["unknown_feature"] = [b"ignored", b"values"]
+        return feats
+
+    def test_random_examples_bit_identical(self, tmp_path):
+        from cikm2020_dmt_tpu.data.example import encode_example
+        from cikm2020_dmt_tpu.data.pipeline import batch_stream
+        from cikm2020_dmt_tpu.data.schema import FeatureSchema
+        from cikm2020_dmt_tpu.data.tfrecord import write_records
+
+        cfg = make_demo_config()
+        schema = FeatureSchema.from_config(cfg)
+        ts = set(cfg.attention_ts)
+        rng = np.random.default_rng(20260818)
+        write_records(str(tmp_path / "fuzz.tfrecord"), [
+            encode_example(self._random_example(rng, schema, ts))
+            for _ in range(192)])
+        spec = str(tmp_path / "*.tfrecord")
+
+        py = list(batch_stream(cfg, spec, 64, epochs=1,
+                               drop_remainder=False))
+        nat = list(native_batch_stream(cfg, spec, 64, epochs=1,
+                                       drop_remainder=False))
+        assert len(py) == len(nat) == 3
+        for pb, nb in zip(py, nat):
+            assert set(pb.arrays) == set(nb.arrays)
+            for k in sorted(pb.arrays):
+                np.testing.assert_array_equal(pb.arrays[k], nb.arrays[k],
+                                              err_msg=k)
+            assert pb.headers == nb.headers
+
+    def test_header_cap_truncates_bytes_not_positions(self, tmp_path):
+        """Headers beyond HEADER_CAP are truncated in the native batch's
+        header bytes (documented capacity limit, data/native.py) — but
+        em_position/em_page still parse from the full value because the C
+        scanner reads the record, not the truncated copy."""
+        from cikm2020_dmt_tpu.data.example import encode_example
+        from cikm2020_dmt_tpu.data.native import HEADER_CAP
+        from cikm2020_dmt_tpu.data.tfrecord import write_records
+
+        cfg = make_demo_config()
+        fields = ["x" * 200] * 4 + ["321"] + ["y" * 900] * 6 + ["77", "z"]
+        hdr = ("\t".join(fields)).encode()
+        assert len(hdr) > HEADER_CAP
+        write_records(str(tmp_path / "h.tfrecord"),
+                      [encode_example({"header": [hdr],
+                                       "label": [1.0]})] * 4)
+        nb = next(native_batch_stream(cfg, str(tmp_path / "*.tfrecord"), 4,
+                                      epochs=1, drop_remainder=False))
+        assert nb.headers[0] == hdr[:HEADER_CAP]
+        assert nb["em_position"][0] == 321   # pos field, past nothing
+        assert nb["em_page"][0] == 77        # page field sits past the cap
