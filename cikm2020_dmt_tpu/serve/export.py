@@ -235,6 +235,14 @@ class Scorer:
         return {k: np.asarray(v) for k, v in self._fn(
             self.params, self.model_state, jb).items()}
 
+    def score_async(self, batch: dict) -> dict:
+        """Dispatch without blocking: returns device arrays (JAX async
+        dispatch), so a serving loop overlaps the next request's host
+        assembly with this one's device execution.  Call np.asarray /
+        block_until_ready on the values when the result is needed."""
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        return self._fn(self.params, self.model_state, jb)
+
 
 def export_model(cfg: DMTConfig, ckpt_step: int,
                  export_dir: Optional[str] = None) -> str:

@@ -169,3 +169,8 @@ class TestExportRoundtrip:
                 assert untiled[f.name + IDS].shape[0] == 1
         out2 = scorer(untiled)
         np.testing.assert_allclose(out2["Scores"], out["Scores"], rtol=1e-6)
+
+        # async dispatch returns the same scores (device arrays)
+        out3 = scorer.score_async(untiled)
+        np.testing.assert_allclose(np.asarray(out3["Scores"]),
+                                   out["Scores"], rtol=1e-6)
