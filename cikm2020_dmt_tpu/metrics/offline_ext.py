@@ -130,10 +130,15 @@ def _cell_grouped_aucs(ph, blended: np.ndarray) -> tuple[dict, dict, dict]:
 
 def grid_search(header_schema, headers, clk_scores, ord_scores, *,
                 weights: Sequence[tuple[float, float]] = GRID_WEIGHTS,
-                out_file: Optional[str] = None) -> dict:
+                out_file: Optional[str] = None, workers: int = 0) -> dict:
     """Blend-weight grid search (reference metrics2.get_offline_metrics,
     :347-497).  Returns per-weight metric dicts + the best cell by click
-    P@4; optionally appends the reference-format report to ``out_file``."""
+    P@4; optionally appends the reference-format report to ``out_file``.
+
+    The weight cells are independent given the shared ``ParsedHeaders``,
+    so they compute on a thread pool (numpy's lexsort/reduceat release
+    the GIL; the reference forks a 0.7*ncpu process pool for the same
+    job, metrics.py:134-160).  ``workers=1`` forces serial."""
     clk_scores = np.asarray(clk_scores, np.float64)
     ord_scores = np.asarray(ord_scores, np.float64)
     # parse once; the 8 weight cells x 5 metric families below all share
@@ -150,10 +155,13 @@ def grid_search(header_schema, headers, clk_scores, ord_scores, *,
                 lines.append(f"action_{action}_at_{n}: {p}")
         log_to_file("\n".join(lines), out_file)
 
-    max_value, max_key = 0.0, ""
-    for wc, wo in weights:
+    # memoize every group code the cells read BEFORE threading (the
+    # ParsedHeaders codes cache is not locked; after this, cells only read)
+    headers.codes(("uuid", "sid"))
+    headers.codes("uuid")
+
+    def one_cell(wc, wo):
         blended = (wc * clk_scores + wo * ord_scores) / (wc + wo)
-        key = f"{wc}_{wo}"
         pm = precision_mrr_grouped(header_schema, headers, blended,
                                    group_by=("uuid", "sid"))
         gauc, gauc_imp, gauc_clk = _cell_grouped_aucs(headers, blended)
@@ -168,6 +176,23 @@ def grid_search(header_schema, headers, clk_scores, ord_scores, *,
         denom = g[CLICK] + g[ORDER]
         cell["grouped_auc_f1"] = (2 * g[CLICK] * g[ORDER] / denom
                                   if denom > 0 else 0.0)
+        return cell
+
+    if workers != 1 and len(weights) > 1:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        nw = workers if workers > 0 else min(len(weights),
+                                             os.cpu_count() or 4)
+        with ThreadPoolExecutor(max_workers=nw) as ex:
+            cells = list(ex.map(lambda w: one_cell(*w), weights))
+    else:
+        cells = [one_cell(*w) for w in weights]
+
+    max_value, max_key = 0.0, ""
+    for (wc, wo), cell in zip(weights, cells):
+        key = f"{wc}_{wo}"
+        pm = cell["precision_mrr"]
+        g = cell["grouped_auc"]
         results["cells"][key] = cell
         # best by click P@4 (metrics2.py:409-412); AT_LIST[1] == 4
         p_at_4 = pm[CLICK][0][AT_LIST.index(4)]

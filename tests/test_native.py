@@ -224,3 +224,28 @@ class TestFuzzParity:
         assert nb.headers[0] == hdr[:HEADER_CAP]
         assert nb["em_position"][0] == 321   # pos field, past nothing
         assert nb["em_page"][0] == 77        # page field sits past the cap
+
+    def test_corrupt_framing_same_verdict_both_paths(self, tmp_path):
+        """Truncated records raise in both paths; trailing garbage
+        shorter than a frame header is ignored by both."""
+        from cikm2020_dmt_tpu.data.example import encode_example
+        from cikm2020_dmt_tpu.data.tfrecord import read_records, write_records
+
+        good = str(tmp_path / "good.tfrecord")
+        write_records(good, [encode_example({"label": [1.0]})] * 3)
+        data = open(good, "rb").read()
+
+        tail = str(tmp_path / "tail.tfrecord")
+        with open(tail, "wb") as f:
+            f.write(data + b"\x00" * 8)  # < 12B trailing garbage
+        assert len(list(read_records(tail))) == 3
+        _, offs, _ = scan_file(tail)
+        assert len(offs) == 3
+
+        trunc = str(tmp_path / "trunc.tfrecord")
+        with open(trunc, "wb") as f:
+            f.write(data[:-10])  # cut into the last record
+        with pytest.raises(IOError):
+            list(read_records(trunc))
+        with pytest.raises(IOError):
+            scan_file(trunc)
