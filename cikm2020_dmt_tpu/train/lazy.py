@@ -98,13 +98,21 @@ def build_lazy_plan(cfg: DMTConfig, mesh, engine) -> tuple[LazyTableSpec, ...]:
     """Tables eligible for lazy Adam under this config/mesh.
 
     Gates: flag on, optimizer adam (the row update implements Adam math),
-    single-device mesh (multi-device grads need the dense psum path), no
+    no model-axis sharding of the tables (row-split tables update through
+    the dense shard_map path; a sharded lazy update is future work), no
     embedding L2 (wnd_wd differentiates table leaves directly), and no
     ts features on the table (ts ids are re-bucketized inside the model,
-    so the engine sees a different array than the batch's)."""
+    so the engine sees a different array than the batch's).
+
+    Pure DATA-parallel meshes (model axis == 1) are eligible: the math is
+    the single-chip math on the global batch, GSPMD inserts the data-axis
+    collectives, and the gradient all-reduce shrinks from the full dense
+    [R, D] table cotangent to the [U, D] touched-row block — ~R/U x fewer
+    bytes over ICI per big table (scripts/collective_bytes.py --data)."""
+    from ..core.mesh import MODEL_AXIS
     if not (cfg.lazy_adam and cfg.optimizer.lower() == "adam"
             and cfg.wnd_wd <= 1e-5
-            and (mesh is None or mesh.size == 1)):
+            and (mesh is None or mesh.shape.get(MODEL_AXIS, 1) == 1)):
         return ()
     ts_feats = frozenset(cfg.attention_ts)
     by_table: dict[str, list] = {}

@@ -114,7 +114,35 @@ def report(tag: str, hlo: str) -> int:
     return total
 
 
+def lower_dp(lazy: bool) -> str:
+    """Pure data-parallel mesh (data=8, model=1): lazy vs dense Adam —
+    the gradient all-reduce shrinks from the dense [R, D] table cotangent
+    to the [U, D] touched-row block."""
+    cfg = g._demo_config(
+        sku_rows=65536, cid3_rows=2048, batch_size=256, mesh_model=1,
+        mesh_data=8, validate_step=10**9, lazy_adam=lazy,
+        dedup_rows_threshold=8192,
+    )
+    mesh = build_mesh(cfg, jax.devices()[:8])
+    trainer = Trainer(cfg, mesh=mesh)
+    if lazy:
+        assert trainer.lazy_plan, "lazy plan empty on data-parallel mesh"
+    tstate = trainer.shard_state(trainer.init_state())
+    step_fn = trainer._train_step()
+    batch = trainer.device_batch(
+        g._as_batch(g.synthetic_batch(cfg, cfg.batch_size)))
+    lowered = jax.jit(step_fn, donate_argnums=(0, 1)).lower(
+        tstate, task_metrics_init(), batch, jax.random.PRNGKey(0))
+    return lowered.compile().as_text()
+
+
 def main():
+    if "--data" in sys.argv:
+        hlo_dense = lower_dp(lazy=False)
+        hlo_lazy = lower_dp(lazy=True)
+        report("data-parallel, dense Adam (lazy_adam=false)", hlo_dense)
+        report("data-parallel, lazy Adam (default)", hlo_lazy)
+        return
     hlo_psum = lower(exchange=False)
     hlo_ex = lower(exchange=True)
     report("grid-psum seq lookups (shard_seq_exchange=false)", hlo_psum)
