@@ -815,10 +815,19 @@ def _take_onehot_bwd(bf16_grad, res, g):
 take_onehot.defvjp(_take_onehot_fwd, _take_onehot_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def dedup_take(table: jnp.ndarray, ids: jnp.ndarray,
-               budget_div: int = 4) -> jnp.ndarray:
-    """jnp.take(table, ids, axis=0) with a dedup-scatter backward."""
+               budget_div: int = 4,
+               vjp_reduce_axes: tuple = ()) -> jnp.ndarray:
+    """jnp.take(table, ids, axis=0) with a dedup-scatter backward.
+
+    ``vjp_reduce_axes``: mesh axis names to psum the table cotangent over
+    — REQUIRED when called inside a shard_map body whose table arg is
+    invariant along some axis (e.g. the row-sharded pooled lookup: the
+    table shard is invariant over the data axis, but each data shard
+    computes a partial gradient; custom-VJP outputs must carry the
+    primal's varying axes, so the bwd reduces explicitly where plain-op
+    transposes would have had shard_map insert the psum)."""
     return jnp.take(table, ids, axis=0, mode="clip")
 
 
@@ -878,16 +887,19 @@ def _dedup_take_exact_bwd(res, g):
 dedup_take_exact.defvjp(_dedup_take_exact_fwd, _dedup_take_exact_bwd)
 
 
-def _dedup_take_fwd(table, ids, budget_div):
-    return dedup_take(table, ids, budget_div), (ids, table.shape)
+def _dedup_take_fwd(table, ids, budget_div, vjp_reduce_axes):
+    return dedup_take(table, ids, budget_div, vjp_reduce_axes), \
+        (ids, table.shape)
 
 
-def _dedup_take_bwd(budget_div, res, g):
+def _dedup_take_bwd(budget_div, vjp_reduce_axes, res, g):
     ids, shape = res
     ids_flat = ids.reshape(-1)
     g_flat = g.reshape(-1, shape[1])
     budget = max(256, ids_flat.shape[0] // budget_div)
     dtable = _dedup_grad_table(ids_flat, g_flat, shape[0], budget)
+    if vjp_reduce_axes:
+        dtable = jax.lax.psum(dtable, vjp_reduce_axes)
     return dtable, None
 
 

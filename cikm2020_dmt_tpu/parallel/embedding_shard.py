@@ -71,12 +71,14 @@ class EmbeddingEngine:
                 self._meta.setdefault("bias:" + spec.table,
                                       (spec.id_size, spec.dim, p))
 
-    def _take_raw(self, table, ids, logical_rows, allow_exact=True):
+    def _take_raw(self, table, ids, logical_rows, allow_exact=True,
+                  vjp_reduce_axes=()):
         cfg = self.cfg
         if cfg is not None and cfg.dedup_grads:
             if logical_rows >= cfg.dedup_rows_threshold:
                 from ..ops.scatter_rows import dedup_take
-                return dedup_take(table, ids, cfg.dedup_budget_div)
+                return dedup_take(table, ids, cfg.dedup_budget_div,
+                                  vjp_reduce_axes)
             if allow_exact and table.shape[0] <= cfg.onehot_bwd_rows_max:
                 # not inside shard_map bodies: the custom VJP's cotangent
                 # carries different varying-axes typing than the primal
@@ -120,9 +122,39 @@ class EmbeddingEngine:
 DENSE_ENGINE = EmbeddingEngine()
 
 
+def shard_take_rows(mesh: Mesh, table, idx, idx_data_sharded: bool = False):
+    """Rows of a row-sharded table for explicit indices: masked local
+    gather + psum over the model axis.  Out-of-range indices (including
+    the lazy-Adam sentinel ids >= R) return the zero row.
+
+    ``idx_data_sharded=False``: ``idx`` is replicated ([U] unique ids for
+    the lazy-Adam union, train/lazy.collect) and the result is replicated.
+    ``True``: ``idx`` leading axis is split over the data axis (the
+    [N]-element overflow fallback) and the result is data-sharded."""
+    M = mesh.shape[MODEL_AXIS]
+    rows_per_shard = table.shape[0] // M
+
+    def local(tshard, idx_l):
+        m = jax.lax.axis_index(MODEL_AXIS)
+        rel = idx_l - m * rows_per_shard
+        inb = (rel >= 0) & (rel < rows_per_shard)
+        rows = jnp.take(tshard, jnp.where(inb, rel, 0), axis=0, mode="clip")
+        rows = jnp.where(inb[..., None], rows, 0)
+        return jax.lax.psum(rows, MODEL_AXIS)
+
+    ispec = P(DATA_AXIS) if idx_data_sharded else P()
+    ospec = P(DATA_AXIS, None) if idx_data_sharded else P(None, None)
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(P(MODEL_AXIS, None), ispec),
+                         out_specs=ospec)(table, idx)
+
+
 class ShardedEmbeddingEngine(EmbeddingEngine):
     """Dispatches large tables to shard_map lookups, small ones to the
-    replicated path."""
+    replicated path.  Lazy-Adam overlays take priority: an overlaid
+    table's lookups slice the union grid at the jit level (the rows were
+    already exchanged once in train/lazy.collect), so they must NOT
+    re-enter the shard_map lookup path."""
 
     def __init__(self, cfg: DMTConfig, mesh: Mesh):
         super().__init__(cfg)
@@ -142,7 +174,7 @@ class ShardedEmbeddingEngine(EmbeddingEngine):
         return phys, ids - phys * p, p, dim
 
     def pooled(self, name: str, table, ids, wts, lens, combiner="mean"):
-        if not self._sharded(table):
+        if name in self.overlay or not self._sharded(table):
             return super().pooled(name, table, ids, wts, lens, combiner)
         rows_per_shard = table.shape[0] // self.mesh.shape[MODEL_AXIS]
         phys, slot, p, dim = self._phys(name, ids)
@@ -157,9 +189,12 @@ class ShardedEmbeddingEngine(EmbeddingEngine):
             # dedup-gradient gather for the big tables (same policy as the
             # single-chip engine): the backward sorts + segment-sums the
             # cotangent so the serialized scatter-add only touches unique
-            # local rows
+            # local rows.  vjp_reduce_axes: the table shard is invariant
+            # over the data axis, so the custom bwd must hand back the
+            # data-psum'd cotangent itself (shard_map custom-VJP typing)
             emb = self._take_raw(table_shard, jnp.where(in_shard, rel, 0),
-                                 logical_rows, allow_exact=False)
+                                 logical_rows, allow_exact=False,
+                                 vjp_reduce_axes=(DATA_AXIS,))
             if p > 1:
                 from ..nn.embedding import select_packed
                 emb = select_packed(emb, slot_l, p, dim)
@@ -203,7 +238,7 @@ class ShardedEmbeddingEngine(EmbeddingEngine):
         predicate is uniform across the model axis because the ids are
         replicated along it, so every shard takes the same branch.
         """
-        if not self._sharded(table):
+        if name in self.overlay or not self._sharded(table):
             return super().seq(name, table, ids, zero_pad)
         M = self.mesh.shape[MODEL_AXIS]
         data = max(1, self.mesh.shape[DATA_AXIS])

@@ -69,6 +69,7 @@ class LazyTableSpec:
     fields: tuple[tuple[str, int], ...]   # (feature, id_size)
     pack: int                             # logical rows per physical row
     dim: int                              # logical embedding dim
+    sharded: bool = False                 # row-split over the model axis
 
 
 @dataclass
@@ -108,12 +109,21 @@ def build_lazy_plan(cfg: DMTConfig, mesh, engine) -> tuple[LazyTableSpec, ...]:
     the single-chip math on the global batch, GSPMD inserts the data-axis
     collectives, and the gradient all-reduce shrinks from the full dense
     [R, D] table cotangent to the [U, D] touched-row block — ~R/U x fewer
-    bytes over ICI per big table (scripts/collective_bytes.py --data)."""
+    bytes over ICI per big table (scripts/collective_bytes.py --data).
+
+    Row-split tables (model axis > 1, ``spec.sharded``): the union rows
+    are exchanged ONCE per step (masked local gather + model-axis psum of
+    [U, Dphys], parallel/embedding_shard.shard_take_rows) and every
+    lookup site slices the replicated grid — amortizing the collective
+    across the table's sites, where the dense shard_map path pays one
+    collective per lookup.  The Adam update is fully LOCAL: each shard
+    gathers its own moments and drop-scatters only the rows it owns
+    (lazy_adam_rows_sharded) — no collective on the update side."""
     from ..core.mesh import MODEL_AXIS
     if not (cfg.lazy_adam and cfg.optimizer.lower() == "adam"
-            and cfg.wnd_wd <= 1e-5
-            and (mesh is None or mesh.shape.get(MODEL_AXIS, 1) == 1)):
+            and cfg.wnd_wd <= 1e-5):
         return ()
+    M = 1 if mesh is None else mesh.shape.get(MODEL_AXIS, 1)
     ts_feats = frozenset(cfg.attention_ts)
     by_table: dict[str, list] = {}
     for spec in cfg.embeddings:
@@ -126,9 +136,17 @@ def build_lazy_plan(cfg: DMTConfig, mesh, engine) -> tuple[LazyTableSpec, ...]:
             continue
         meta = engine._meta.get(tname)
         pack = meta[2] if meta is not None else 1
+        # physical (packed) rows decide sharding — must agree with
+        # core.mesh.param_shardings, which looks at the array shape
+        rphys = -(-max(s.id_size for s in specs) // pack)
+        # a non-divisible / small table on a model mesh stays replicated
+        # (matching param_shardings' fallback) and takes the plain path:
+        # its grads psum over every mesh axis automatically
+        sharded = (M > 1 and rphys >= cfg.shard_rows_threshold
+                   and rphys % M == 0)
         out.append(LazyTableSpec(
             tname, tuple((s.feature, s.id_size) for s in specs),
-            pack, specs[0].dim))
+            pack, specs[0].dim, sharded))
     return tuple(out)
 
 
@@ -137,9 +155,14 @@ def _round8(n: int) -> int:
 
 
 def collect(spec: LazyTableSpec, batch: dict, table: jnp.ndarray,
-            budget_div: int) -> LazyCollection:
+            budget_div: int, mesh=None) -> LazyCollection:
     """Sort the table's id union once; derive uids / per-element slots /
-    gathered rows — sorts, cumsums, slices and row gathers only."""
+    gathered rows — sorts, cumsums, slices and row gathers only.
+
+    ``spec.sharded`` (row-split table over the model axis): the [U] union
+    rows are exchanged here, once, via masked gather + psum
+    (parallel/embedding_shard.shard_take_rows) instead of a plain take —
+    every downstream lookup site then slices the replicated grid."""
     from ..data.pipeline import IDS
 
     rphys = table.shape[0]
@@ -179,8 +202,12 @@ def collect(spec: LazyTableSpec, batch: dict, table: jnp.ndarray,
                      rphys + jax.lax.iota(jnp.int32, U), uids)
     seg_ext = jnp.where(seg < U, seg, jnp.int32(U))      # overflow -> miss
     _, pos = jax.lax.sort((order, seg_ext), num_keys=1)  # [N] slot per elem
-    rows = jnp.take(table, jnp.minimum(uids, rphys - 1), axis=0,
-                    indices_are_sorted=True)
+    if spec.sharded:
+        from ..parallel.embedding_shard import shard_take_rows
+        rows = shard_take_rows(mesh, table, jnp.minimum(uids, rphys - 1))
+    else:
+        rows = jnp.take(table, jnp.minimum(uids, rphys - 1), axis=0,
+                        indices_are_sorted=True)
     # overflow visibility: unique ids beyond the budget read the zero row
     # and take no gradient this step — count them so production runs can
     # tune dedup_budget_div down from the conservative default safely
@@ -192,7 +219,7 @@ def collect(spec: LazyTableSpec, batch: dict, table: jnp.ndarray,
 
 def make_overlay(spec: LazyTableSpec, col: LazyCollection,
                  rows_diff: jnp.ndarray,
-                 table: jnp.ndarray = None) -> LazyOverlay:
+                 table: jnp.ndarray = None, mesh=None) -> LazyOverlay:
     """Build the engine overlay INSIDE the differentiated function:
     ``rows_diff`` is the diff leaf; the union grid is one sparse-backward
     gather shared by every site.
@@ -212,7 +239,15 @@ def make_overlay(spec: LazyTableSpec, col: LazyCollection,
         miss = (col.pos >= jnp.int32(U))[:, None]
 
         def _exact(g):
-            fb = jnp.take(jax.lax.stop_gradient(table), col.phys, axis=0)
+            if spec.sharded:
+                # [N, Dphys] exchange of the missed elements' true rows,
+                # data-sharded on N — only inside the overflow branch
+                from ..parallel.embedding_shard import shard_take_rows
+                fb = shard_take_rows(mesh, jax.lax.stop_gradient(table),
+                                     col.phys, idx_data_sharded=True)
+            else:
+                fb = jnp.take(jax.lax.stop_gradient(table), col.phys,
+                              axis=0)
             return jnp.where(miss, fb, g)
 
         grid = jax.lax.cond(col.overflow > 0, _exact, lambda g: g, grid)
@@ -236,6 +271,68 @@ def overlay_take(ov: LazyOverlay, ids: jnp.ndarray) -> jnp.ndarray:
         slot = ids - (ids // ov.pack) * ov.pack
         return select_packed(grid, slot, ov.pack, ov.dim)
     return grid
+
+
+def _adam_rows_math(rows, g_rows, mvu, lr, count,
+                    b1: float, b2: float, eps: float, out_dtype):
+    """Shared LazyAdam row math: (p_new, mv_new) for the [U]-row block.
+
+    bf16 tables (cfg.table_bf16_threshold) store rows/grads in bf16; the
+    update computes in f32 against the f32 moments and rounds once to
+    the table dtype on write-back.  Bias correction uses the global
+    post-increment ``count`` (optax.scale_by_adam parity)."""
+    d = rows.shape[1]
+    mu, vu = mvu[:, :d], mvu[:, d:]
+    g32 = g_rows.astype(jnp.float32)
+    m_new = b1 * mu + (1.0 - b1) * g32
+    v_new = b2 * vu + (1.0 - b2) * (g32 * g32)
+    c = count.astype(jnp.float32)
+    mhat = m_new / (1.0 - jnp.power(b1, c))
+    vhat = v_new / (1.0 - jnp.power(b2, c))
+    p_new = (rows.astype(jnp.float32)
+             - lr * mhat / (jnp.sqrt(vhat) + eps)).astype(out_dtype)
+    return p_new, jnp.concatenate([m_new, v_new], axis=1)
+
+
+def lazy_adam_rows_sharded(mesh, table: jnp.ndarray, mv: jnp.ndarray,
+                           uids: jnp.ndarray, rows: jnp.ndarray,
+                           g_rows: jnp.ndarray, count: jnp.ndarray,
+                           schedule: Callable, b1: float = 0.9,
+                           b2: float = 0.999, eps: float = 1e-8):
+    """LazyAdam step for a table row-split over the model axis.
+
+    The union inputs (uids / rows / g_rows) are replicated; the update is
+    fully LOCAL per shard — each shard gathers its own moment rows,
+    computes the row math (replicated compute over [U, D] is VPU-cheap),
+    and drop-scatters only the rows it owns.  No model-axis collective:
+    the one exchange already happened in ``collect``."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..core.mesh import MODEL_AXIS
+    M = mesh.shape[MODEL_AXIS]
+    rows_per_shard = table.shape[0] // M
+    lr = schedule(count - 1)
+
+    def local(tshard, mvshard, uids_l, rows_l, g_l, lr_l, count_l):
+        m = jax.lax.axis_index(MODEL_AXIS)
+        rel = uids_l - m * rows_per_shard
+        inb = (rel >= 0) & (rel < rows_per_shard)
+        safe = jnp.where(inb, rel, 0)
+        mvu = jnp.take(mvshard, safe, axis=0)
+        p_new, mv_new = _adam_rows_math(rows_l, g_l, mvu, lr_l, count_l,
+                                        b1, b2, eps, tshard.dtype)
+        # out-of-shard (and sentinel) slots map to row R_shard -> dropped
+        tgt = jnp.where(inb, rel, rows_per_shard)
+        tshard = tshard.at[tgt].set(p_new, mode="drop")
+        mvshard = mvshard.at[tgt].set(mv_new, mode="drop")
+        return tshard, mvshard
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P(MODEL_AXIS, None),
+                  P(), P(), P(), P(), P()),
+        out_specs=(P(MODEL_AXIS, None), P(MODEL_AXIS, None)),
+    )(table, mv, uids, rows, g_rows, lr, count)
 
 
 def lazy_adam_rows(table: jnp.ndarray, mv: jnp.ndarray,
@@ -265,19 +362,8 @@ def lazy_adam_rows(table: jnp.ndarray, mv: jnp.ndarray,
     d = table.shape[1]
     safe = jnp.minimum(uids, table.shape[0] - 1)
     mvu = jnp.take(mv, safe, axis=0, indices_are_sorted=True)
-    mu, vu = mvu[:, :d], mvu[:, d:]
-    # bf16 tables (cfg.table_bf16_threshold) store rows/grads in bf16;
-    # the update math runs in f32 against the f32 moments and rounds
-    # once to the table dtype on write-back
-    g32 = g_rows.astype(jnp.float32)
-    m_new = b1 * mu + (1.0 - b1) * g32
-    v_new = b2 * vu + (1.0 - b2) * (g32 * g32)
-    c = count.astype(jnp.float32)
-    mhat = m_new / (1.0 - jnp.power(b1, c))
-    vhat = v_new / (1.0 - jnp.power(b2, c))
-    p_new = (rows.astype(jnp.float32)
-             - lr * mhat / (jnp.sqrt(vhat) + eps)).astype(table.dtype)
-    mv_new = jnp.concatenate([m_new, v_new], axis=1)
+    p_new, mv_new = _adam_rows_math(rows, g_rows, mvu, lr, count,
+                                    b1, b2, eps, table.dtype)
     # Write-back: on TPU, a Pallas per-row HBM->HBM DMA kernel
     # (ops/scatter_rows.update_rows, in-place via input_output_aliases).
     # XLA's scatter is NOT intrinsically slow here — isolated, the same

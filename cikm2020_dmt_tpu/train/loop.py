@@ -82,13 +82,15 @@ def _lazy_step(trainer: "Trainer", tstate: dict, batch: dict, rng):
     touched rows of param/m/v in place (donated buffers)."""
     import optax as _optax
 
-    from .lazy import collect, lazy_adam_rows, make_overlay
+    from .lazy import collect, lazy_adam_rows, lazy_adam_rows_sharded, \
+        make_overlay
 
     cfg = trainer.cfg
     engine = trainer.model.engine
+    mesh = trainer.mesh
     params = tstate["params"]
     cols = {t.name: collect(t, batch, params["emb"][t.name],
-                            cfg.dedup_budget_div)
+                            cfg.dedup_budget_div, mesh=mesh)
             for t in trainer.lazy_plan}
     rows = {name: c.rows for name, c in cols.items()}
     dense = trainer._dense_params(params)
@@ -104,7 +106,8 @@ def _lazy_step(trainer: "Trainer", tstate: dict, batch: dict, rng):
             t.name: make_overlay(
                 t, cols[t.name], rows_d[t.name],
                 table=(params["emb"][t.name]
-                       if cfg.lazy_overflow_exact else None))
+                       if cfg.lazy_overflow_exact else None),
+                mesh=mesh)
             for t in trainer.lazy_plan}
         try:
             return trainer.loss_fn(full, mstate, batch, rng)
@@ -123,8 +126,11 @@ def _lazy_step(trainer: "Trainer", tstate: dict, batch: dict, rng):
     lazy_opt = {}
     for t in trainer.lazy_plan:
         c = cols[t.name]
-        tab, mv = lazy_adam_rows(
-            params["emb"][t.name], tstate["lazy_opt"][t.name]["mv"],
+        update = (lazy_adam_rows_sharded if t.sharded
+                  else lazy_adam_rows)
+        args = (mesh,) if t.sharded else ()
+        tab, mv = update(
+            *args, params["emb"][t.name], tstate["lazy_opt"][t.name]["mv"],
             c.uids, c.rows, g_rows[t.name], count, trainer._schedule)
         new_params["emb"][t.name] = tab
         lazy_opt[t.name] = {"mv": mv}
@@ -249,8 +255,16 @@ class Trainer:
 
         out["opt_state"] = jax.tree_util.tree_map(put_opt, tstate["opt_state"])
         if "lazy_opt" in tstate:
-            out["lazy_opt"] = jax.tree_util.tree_map(put_opt,
-                                                     tstate["lazy_opt"])
+            # lazy moments are [R, 2D] (lane-concatenated) so the
+            # shape-match heuristic misses them: mirror the table's
+            # sharding explicitly (row dim matches)
+            from jax.sharding import NamedSharding
+            out["lazy_opt"] = {
+                name: {"mv": jax.device_put(
+                    sub["mv"],
+                    NamedSharding(self.mesh,
+                                  psh["emb"][name].spec))}
+                for name, sub in tstate["lazy_opt"].items()}
         if "lazy_overflow" in tstate:
             out["lazy_overflow"] = jax.device_put(tstate["lazy_overflow"],
                                                   rep)

@@ -136,7 +136,35 @@ def lower_dp(lazy: bool) -> str:
     return lowered.compile().as_text()
 
 
+def lower_sharded_lazy(lazy: bool) -> str:
+    """(data=2 x model=4) mesh with a row-split 64k-row Sku: sharded lazy
+    Adam (one [U, D] row exchange per step + local update) vs the dense
+    shard_map path (per-site collectives + dense sharded Adam)."""
+    cfg = g._demo_config(
+        sku_rows=65536, cid3_rows=2048, batch_size=256, mesh_model=4,
+        mesh_data=2, shard_rows_threshold=512, validate_step=10**9,
+        lazy_adam=lazy, dedup_rows_threshold=8192,
+    )
+    mesh = build_mesh(cfg, jax.devices()[:8])
+    trainer = Trainer(cfg, mesh=mesh)
+    if lazy:
+        assert any(t.sharded for t in trainer.lazy_plan), trainer.lazy_plan
+    tstate = trainer.shard_state(trainer.init_state())
+    step_fn = trainer._train_step()
+    batch = trainer.device_batch(
+        g._as_batch(g.synthetic_batch(cfg, cfg.batch_size)))
+    lowered = jax.jit(step_fn, donate_argnums=(0, 1)).lower(
+        tstate, task_metrics_init(), batch, jax.random.PRNGKey(0))
+    return lowered.compile().as_text()
+
+
 def main():
+    if "--model-lazy" in sys.argv:
+        hlo_dense = lower_sharded_lazy(lazy=False)
+        hlo_lazy = lower_sharded_lazy(lazy=True)
+        report("model-sharded tables, dense shard_map Adam", hlo_dense)
+        report("model-sharded tables, sharded lazy Adam (default)", hlo_lazy)
+        return
     if "--data" in sys.argv:
         hlo_dense = lower_dp(lazy=False)
         hlo_lazy = lower_dp(lazy=True)

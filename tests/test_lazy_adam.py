@@ -47,10 +47,12 @@ class TestLazyAdam:
         names = {t.name for t in tr.lazy_plan}
         # every table at/above the threshold, none below
         assert "Sku" in names and "Cid2" not in names
-        # multi-device mesh disables the plan
+        # multi-device meshes keep the plan (data-parallel: plain path;
+        # model-split tables: sharded update — see TestDataParallelLazy /
+        # TestShardedLazy)
         if len(jax.devices()) > 1:
             tr8 = Trainer(cfg)
-            assert tr8.lazy_plan == () or tr8.mesh.size == 1
+            assert any(t.name == "Sku" for t in tr8.lazy_plan)
         # non-adam optimizer disables it
         tr_sgd = Trainer(g._demo_config(optimizer="sgd", **KW),
                          mesh=one_dev_mesh())
@@ -412,3 +414,73 @@ class TestDataParallelLazy:
                                                  abs=1e-5)
         np.testing.assert_allclose(results[True][1], results[False][1],
                                    atol=1e-5)
+
+
+class TestShardedLazy:
+    """Lazy Adam with row-split tables on a (data x model) mesh: union
+    rows exchanged once per step (shard_take_rows), update local per
+    shard (lazy_adam_rows_sharded)."""
+
+    SKW = dict(KW, shard_rows_threshold=512)
+
+    def _mesh(self, data, model):
+        devs = jax.devices()
+        if len(devs) < data * model:
+            pytest.skip(f"needs {data * model} devices")
+        return Mesh(np.array(devs[:data * model]).reshape(data, model),
+                    ("data", "model"))
+
+    def test_plan_marks_sharded(self):
+        cfg = g._demo_config(mesh_data=2, mesh_model=4, **self.SKW)
+        tr = Trainer(cfg, mesh=self._mesh(2, 4))
+        by_name = {t.name: t for t in tr.lazy_plan}
+        # packed Sku: 4096 logical / pack 4 = 1024 phys rows >= 512 -> split
+        assert by_name["Sku"].sharded
+        # packed Cid3: 2048 / 16 = 128 phys rows < 512 -> replicated plan
+        assert "Cid3" in by_name and not by_name["Cid3"].sharded
+
+    def test_first_step_matches_dense_adam_sharded(self):
+        batch = g.synthetic_batch(g._demo_config(**self.SKW), 64)
+        results = {}
+        for lazy in (True, False):
+            cfg = g._demo_config(mesh_data=2, mesh_model=4, lazy_adam=lazy,
+                                 **self.SKW)
+            tr = Trainer(cfg, mesh=self._mesh(2, 4))
+            ts = tr.shard_state(tr.init_state())
+            step = tr._train_step()
+            b = tr.device_batch(g._as_batch(batch))
+            ts, _, loss = step(ts, task_metrics_init(), b,
+                               jax.random.fold_in(jax.random.key(
+                                   0, impl="rbg"), 0))
+            results[lazy] = (float(loss),
+                             np.asarray(ts["params"]["emb"]["Sku"]),
+                             np.asarray(ts["params"]["emb"]["Cid3"]))
+        assert results[True][0] == pytest.approx(results[False][0],
+                                                 abs=1e-4)
+        np.testing.assert_allclose(results[True][1], results[False][1],
+                                   atol=1e-4, err_msg="Sku")
+        np.testing.assert_allclose(results[True][2], results[False][2],
+                                   atol=1e-4, err_msg="Cid3")
+
+    def test_matches_single_device_lazy(self):
+        batch = g.synthetic_batch(g._demo_config(**self.SKW), 64)
+        results = {}
+        for data, model in ((1, 1), (2, 4)):
+            cfg = g._demo_config(mesh_data=data, mesh_model=model,
+                                 **self.SKW)
+            tr = Trainer(cfg, mesh=self._mesh(data, model))
+            assert tr.lazy_plan
+            ts = tr.shard_state(tr.init_state())
+            step = tr._train_step()
+            b = tr.device_batch(g._as_batch(batch))
+            ts, _, loss = step(ts, task_metrics_init(), b,
+                               jax.random.fold_in(jax.random.key(
+                                   0, impl="rbg"), 0))
+            results[(data, model)] = (
+                float(loss),
+                np.asarray(ts["params"]["emb"]["Sku"]),
+                np.asarray(ts["lazy_opt"]["Sku"]["mv"]))
+        a, b_ = results[(1, 1)], results[(2, 4)]
+        assert a[0] == pytest.approx(b_[0], rel=1e-5)
+        np.testing.assert_allclose(a[1], b_[1], atol=1e-4, err_msg="Sku")
+        np.testing.assert_allclose(a[2], b_[2], atol=1e-4, err_msg="mv")
