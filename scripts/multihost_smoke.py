@@ -42,9 +42,12 @@ def worker(process_id: int) -> None:
     cfg = g._demo_config(
         sku_rows=1024, batch_size=32, mesh_model=2, mesh_data=4,
         shard_rows_threshold=512, validate_step=10**9,
+        dedup_rows_threshold=1000,  # lazy plan covers the row-split Sku
         hidden_units_bottom=(64, 32), hidden_units_task=(16,))
     mesh = build_mesh(cfg)
     trainer = Trainer(cfg, mesh=mesh)
+    assert any(t.sharded for t in trainer.lazy_plan), \
+        "smoke should exercise the sharded lazy-Adam update"
     tstate = trainer.shard_state(trainer.init_state())
     step_fn = trainer._train_step()
     # per-host batch half: each process supplies its shard of the global batch
@@ -82,7 +85,12 @@ def worker(process_id: int) -> None:
     ckpt = CheckpointManager(ckpt_dir)
     ckpt.save(3, tstate)
     mark("save done")
-    assert ckpt.has_step(3), "DONE marker missing after multiprocess save"
+    # the DONE marker is chief-written AFTER the cross-process commit
+    # barrier, so only the chief may assert it synchronously — a
+    # non-chief checking immediately races the chief's marker write
+    # (production evaluators POLL for markers, train/evaluate.validation)
+    if process_id == 0:
+        assert ckpt.has_step(3), "DONE marker missing after chief save"
     template = jax.tree_util.tree_map(np.asarray, trainer.init_state())
     mark("template built")
     restored = trainer.shard_state(ckpt.restore(3, template))
