@@ -93,7 +93,10 @@ def main() -> None:
                                                load_scorer)
 
     cfg = DMTConfig.from_ini("conf/dmt_demo.conf")
-    export_dir = newest_export(cfg.model_path)
+    # DMT_SERVE_BUNDLE: score an alternate bundle (e.g. the int8-table
+    # export — scripts/tpu_r2_experiments.sh A/Bs it against f32)
+    export_dir = (os.environ.get("DMT_SERVE_BUNDLE")
+                  or newest_export(cfg.model_path))
     scorer = load_scorer(cfg, export_dir)
     prep = ServingPreprocessor(cfg)
     rng = np.random.default_rng(0)

@@ -212,6 +212,12 @@ class DMTConfig:
     # (documented deviation, SURVEY.md §2.4) — on for parity measurement.
     single_task_raw_label: bool = False
     export_weight: tuple[float, ...] = (1.0, 1.0)
+    # serving export: store embedding tables with >= this many physical
+    # rows as int8 + per-row f32 scale (4x less serving memory; gathers
+    # move D+4 bytes/row instead of 4D — dequantize happens after the
+    # gather in the jitted scorer).  0 = off.  Scoring deltas are bounded
+    # by the per-row quantization step (tests/test_export.py)
+    export_int8_rows: int = 0
     # ((label, weight), ...) sorted by label; labels define the mask columns
     weight_ctr: tuple[tuple[int, float], ...] = parse_class_weights(
         "0:1.0,1:15.0,2:15.0,4:15.0,5:15.0")
@@ -509,6 +515,8 @@ class DMTConfig:
             loss_ctr_rel_method=get("model", "loss_ctr_rel_method", d.loss_ctr_rel_method),
             single_task_raw_label=get_bool("model", "single_task_raw_label", d.single_task_raw_label),
             export_weight=parse_csv_floats(get("export_model", "export_weight", "") or "") or d.export_weight,
+            export_int8_rows=get_int("export_model", "export_int8_rows",
+                                     d.export_int8_rows),
             weight_ctr=weights("weight_ctr", d.weight_ctr),
             weight_ecvr=weights("weight_ecvr", d.weight_ecvr),
             train_weight=weights("train_weight", d.train_weight),

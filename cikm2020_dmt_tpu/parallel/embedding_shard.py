@@ -97,15 +97,31 @@ class EmbeddingEngine:
         if ov is not None:
             from ..train.lazy import overlay_take
             return overlay_take(ov, ids)
+        quant = isinstance(table, dict) and "q" in table
+        rows_arr = table["q"] if quant else table
         meta = self._meta.get(name)
         if meta is None or meta[2] == 1:
-            return self._take_raw(table, ids, table.shape[0])
+            if quant:
+                return self._take_quant(table, ids)
+            return self._take_raw(table, ids, rows_arr.shape[0])
         rows, dim, p = meta
         from ..nn.embedding import select_packed
         phys = ids // p
         slot = ids - phys * p
-        grid128 = self._take_raw(table, phys, rows)
+        grid128 = (self._take_quant(table, phys) if quant
+                   else self._take_raw(table, phys, rows))
         return select_packed(grid128, slot, p, dim)
+
+    @staticmethod
+    def _take_quant(table: dict, ids):
+        """Serving-time int8 table {q: int8 [R, D], scale: f32 [R, 1]}:
+        gather the quantized rows + per-row scales, dequantize AFTER the
+        gather — D + 4 bytes of HBM traffic per row instead of 4D
+        (serve/export.quantize_tables).  Forward-only (no custom-VJP
+        dedup paths; serving never differentiates)."""
+        q = jnp.take(table["q"], ids, axis=0, mode="clip")
+        scale = jnp.take(table["scale"], ids, axis=0, mode="clip")
+        return q.astype(scale.dtype) * scale
 
     def pooled(self, name: str, table, ids, wts, lens, combiner="mean"):
         from ..nn.embedding import pooled_from_grid
@@ -161,6 +177,8 @@ class ShardedEmbeddingEngine(EmbeddingEngine):
         self.mesh = mesh
 
     def _sharded(self, table) -> bool:
+        if isinstance(table, dict):
+            return False  # int8 serving tables stay replicated
         return should_shard_table(self.cfg, self.mesh, table.shape[0])
 
     # -- pooled ---------------------------------------------------------

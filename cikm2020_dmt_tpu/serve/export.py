@@ -244,6 +244,34 @@ class Scorer:
         return self._fn(self.params, self.model_state, jb)
 
 
+def quantize_table(table: np.ndarray) -> dict:
+    """Symmetric per-row int8 quantization: q = round(row / scale) with
+    scale = rowmax(|row|) / 127 — max elementwise error is scale/2."""
+    t = np.asarray(table, np.float32)
+    scale = np.abs(t).max(axis=1, keepdims=True) / 127.0
+    scale = np.where(scale > 0, scale, 1.0).astype(np.float32)
+    q = np.clip(np.rint(t / scale), -127, 127).astype(np.int8)
+    return {"q": q, "scale": scale}
+
+
+def quantize_tables(params, rows_threshold: int) -> tuple[dict, list]:
+    """int8-quantize every main embedding table with >= rows_threshold
+    physical rows; returns (new params, quantized names for the
+    descriptor).  Bias-net tables (params["bias_net"]["emb"]) are 5-dim
+    and tiny — never worth quantizing, left untouched."""
+    quantized: list = []
+    out = dict(params)
+    if "emb" in out:
+        tables = dict(out["emb"])
+        for name, t in tables.items():
+            arr = np.asarray(t)
+            if arr.ndim == 2 and arr.shape[0] >= rows_threshold:
+                tables[name] = quantize_table(arr)
+                quantized.append(name)
+        out["emb"] = tables
+    return out, quantized
+
+
 def export_model(cfg: DMTConfig, ckpt_step: int,
                  export_dir: Optional[str] = None) -> str:
     """Bundle params + normalization constants + config descriptor.
@@ -252,6 +280,10 @@ def export_model(cfg: DMTConfig, ckpt_step: int,
         {export_dir}/params/        Orbax checkpoint (params + model_state)
         {export_dir}/descriptor.json
         {export_dir}/norm.npz       scale + const_vec
+
+    cfg.export_int8_rows > 0: big embedding tables ship int8 with
+    per-row f32 scales (4x serving memory cut; gathers move D+4 bytes
+    per row), dequantized after the gather in the jitted scorer.
     """
     import orbax.checkpoint as ocp
 
@@ -268,10 +300,15 @@ def export_model(cfg: DMTConfig, ckpt_step: int,
     std = read_stat_vector(cfg.train_data_std_path, cfg.feature_dimension)
     scale, const_vec = norm_constants(mean, std)
 
+    params = jax.tree_util.tree_map(np.asarray, restored["params"])
+    int8_tables: list = []
+    if cfg.export_int8_rows > 0:
+        params, int8_tables = quantize_tables(params, cfg.export_int8_rows)
+
     os.makedirs(export_dir, exist_ok=True)
     ocp.PyTreeCheckpointer().save(
         os.path.join(export_dir, "params"),
-        {"params": restored["params"], "model_state": restored["model_state"]},
+        {"params": params, "model_state": restored["model_state"]},
         force=True)
     np.savez(os.path.join(export_dir, "norm.npz"),
              scale=scale, const_vec=const_vec)
@@ -281,6 +318,7 @@ def export_model(cfg: DMTConfig, ckpt_step: int,
             "ckpt_step": ckpt_step,
             "export_weight": list(cfg.export_weight),
             "feature_dimension": cfg.feature_dimension,
+            "int8_tables": int8_tables,
             "signature": {"inputs": "raw_features + id features",
                           "outputs": ["Scores", "click_Scores", "order_Scores"]},
         }, f, indent=2)
@@ -295,6 +333,13 @@ def load_scorer(cfg: DMTConfig, export_dir: str) -> Scorer:
     model = build_model(cfg)
     template = _template(model)
     export_dir = os.path.abspath(export_dir)
+    with open(os.path.join(export_dir, "descriptor.json")) as f:
+        desc = json.load(f)
+    for name in desc.get("int8_tables", ()):
+        t = template["params"]["emb"][name]
+        template["params"]["emb"][name] = {
+            "q": np.zeros(t.shape, np.int8),
+            "scale": np.zeros((t.shape[0], 1), np.float32)}
     tree = ocp.PyTreeCheckpointer().restore(
         os.path.join(export_dir, "params"),
         item={"params": template["params"],

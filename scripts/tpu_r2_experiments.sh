@@ -39,3 +39,12 @@ run bench_both env DMT_DMA_GRID_GATHER=1 DMT_DMA_BWD=1 DMT_DMA_MV=1 python bench
 run bench_bf16 env DMT_TABLE_BF16_ROWS=1000000 python bench.py
 run trace python scripts/trace_step.py
 run serve python bench_serve.py
+# int8-table serving bundle: 4x less table memory, D+4 bytes/row gathers
+run export_int8 python -c "
+import dataclasses
+from cikm2020_dmt_tpu.core.config import DMTConfig
+from cikm2020_dmt_tpu.serve.export import export_model
+cfg = dataclasses.replace(DMTConfig.from_ini('conf/dmt_demo.conf'),
+                          export_int8_rows=200000)
+print(export_model(cfg, 185, export_dir='out/dmt_demo/int8_bundle'))"
+run serve_int8 env DMT_SERVE_BUNDLE=out/dmt_demo/int8_bundle python bench_serve.py

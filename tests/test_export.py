@@ -174,3 +174,64 @@ class TestExportRoundtrip:
         out3 = scorer.score_async(untiled)
         np.testing.assert_allclose(np.asarray(out3["Scores"]),
                                    out["Scores"], rtol=1e-6)
+
+
+class TestInt8Quantization:
+    def test_quantize_roundtrip_error_bound(self):
+        from cikm2020_dmt_tpu.serve.export import quantize_table
+        rng = np.random.default_rng(3)
+        t = (rng.normal(size=(64, 32)) * rng.uniform(0.01, 5, (64, 1))
+             ).astype(np.float32)
+        t[7] = 0.0  # all-zero row: scale guard
+        qt = quantize_table(t)
+        assert qt["q"].dtype == np.int8 and qt["scale"].dtype == np.float32
+        deq = qt["q"].astype(np.float32) * qt["scale"]
+        # symmetric per-row quantization: |err| <= scale/2 elementwise
+        assert (np.abs(deq - t) <= qt["scale"] / 2 + 1e-7).all()
+        assert (deq[7] == 0).all()
+
+
+@needs_demo_data
+class TestInt8ExportRoundtrip:
+    def test_int8_scores_close_to_f32(self, tmp_path):
+        import dataclasses
+
+        from cikm2020_dmt_tpu.serve.export import export_model, load_scorer
+
+        cfg = make_demo_config(
+            model_type="mmoe_transformer_unbias", batch_size=16,
+            validate_step=2, output_path=str(tmp_path),
+            train_data_mean_path=MEAN, train_data_std_path=STD,
+            epoch_num=1)
+        Trainer(cfg).train(data_path=DEMO_DATA, max_steps=2, log_every=100)
+        d32 = export_model(cfg, 2, export_dir=str(tmp_path / "f32"))
+        cfg8 = dataclasses.replace(cfg, export_int8_rows=1000)
+        d8 = export_model(cfg8, 2, export_dir=str(tmp_path / "int8"))
+
+        import json as _json
+        desc = _json.load(open(f"{d8}/descriptor.json"))
+        assert "Sku" in desc["int8_tables"]
+
+        s32 = load_scorer(cfg, d32)
+        s8 = load_scorer(cfg8, d8)
+        assert isinstance(s8.params["emb"]["Sku"], dict)
+        assert s8.params["emb"]["Sku"]["q"].dtype == np.int8
+
+        prep = ServingPreprocessor(cfg)
+        rng = np.random.default_rng(0)
+        ids = {
+            "item_fea_sku": [str(x).encode()
+                             for x in rng.integers(1, 10**9, 8)],
+            "item_c3": [b"13760"] * 8,
+            "clk_seq_sku_7d_50": [str(x).encode()
+                                  for x in rng.integers(1, 10**9, 20)],
+            "clk_seq_c3_7d_50": [b"15053", b"9728"],
+        }
+        raw = np.abs(rng.normal(size=(8, 615))).astype(np.float32)
+        batch = prep.assemble(8, id_values=ids, raw_features=raw,
+                              tile_uside=False)
+        o32 = s32(batch)
+        o8 = s8(batch)
+        # per-row int8 step bounds the embedding error; scores stay close
+        np.testing.assert_allclose(o8["Scores"], o32["Scores"], atol=0.05)
+        assert np.isfinite(o8["Scores"]).all()
