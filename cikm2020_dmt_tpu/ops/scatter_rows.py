@@ -386,8 +386,11 @@ def _sorted_segsum_kernel(seg_smem, seg_vmem, g_ref, zero_ref, out_hbm,
         preferred_element_type=jnp.float32).astype(loc_ref.dtype)
     loc_ref[slot] = local
 
-    # trailing-run sum via masked VPU reduction (no dynamic sublane read)
-    tail = jnp.sum(jnp.where((rel == last_rel)[:, None], g, 0.0),
+    # trailing-run sum via masked VPU reduction (no dynamic sublane read).
+    # Compare the [chunk, 1] int32 reshape against the scalar — Mosaic
+    # rejects reshaping the i1 mask itself (minor-dim insertion is
+    # 32-bit-only on v5e)
+    tail = jnp.sum(jnp.where(rel[:, None] == last_rel, g, 0.0),
                    axis=0).astype(carry_ref.dtype)        # [d]
     cont = cseg_ref[0] == s0
     # if the whole chunk is still the carried run, the old carry must also
