@@ -381,9 +381,13 @@ def _sorted_segsum_kernel(seg_smem, seg_vmem, g_ref, zero_ref, out_hbm,
     g = g_ref[:]
     oh = (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
           == rel[None, :]).astype(g.dtype)                # oh[k, c]
+    # HIGHEST precision: the default MXU f32 dot rounds operands to bf16,
+    # measured max err/sum|g| 3.9e-3 on v5e (vs 2e-7 for XLA segment_sum,
+    # scripts/verify_segsum_mv_tpu.py) — gradient sums can't wear that
     local = jax.lax.dot_general(
         oh, g, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(loc_ref.dtype)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).astype(loc_ref.dtype)
     loc_ref[slot] = local
 
     # trailing-run sum via masked VPU reduction (no dynamic sublane read).
@@ -810,8 +814,15 @@ def _take_onehot_bwd(bf16_grad, res, g):
         gf = gf.astype(jnp.bfloat16)
     oh = (idf[:, None]
           == jnp.arange(num_rows, dtype=jnp.int32)[None, :]).astype(gf.dtype)
+    # f32 cotangents must request HIGHEST explicitly: JAX's DEFAULT TPU
+    # matmul precision is a single bf16 pass (measured ~4e-3 relative
+    # rounding on v5e, scripts/verify_segsum_mv_tpu.py), not the 3-pass
+    # decomposition this path budgets for.  bf16 cotangents keep DEFAULT.
+    prec = (jax.lax.Precision.HIGHEST if gf.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     dtable = jax.lax.dot_general(oh, gf, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
     return dtable.astype(tdtype), None
 
 
