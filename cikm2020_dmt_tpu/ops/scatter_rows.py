@@ -145,11 +145,11 @@ def write_rows(ids: jnp.ndarray, rows: jnp.ndarray, num_rows: int,
         outer,
         grid=(npad // chunk,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((num_rows + 1, dpad), rows.dtype),
         input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -251,10 +251,10 @@ def update_rows(table: jnp.ndarray, ids: jnp.ndarray, rows: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
         input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -339,9 +339,9 @@ def gather_rows(table: jnp.ndarray, ids: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((npad, d), table.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -478,9 +478,9 @@ def sorted_segment_sum_rows(g_sorted: jnp.ndarray, seg: jnp.ndarray,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
             pl.BlockSpec((chunk, d), lambda i: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((num_out + chunk, d), g_sorted.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, chunk, d), g_sorted.dtype),
@@ -558,7 +558,9 @@ def tiled_scatter_add(ids_sorted: jnp.ndarray, rows_sorted: jnp.ndarray,
     rows_p = jnp.pad(rows_sorted, ((0, npad - n), (0, 0)))
     ids2d = ids_p.reshape(-1, 1)
 
-    # per-tile start offset into the sorted stream, in wblk block units
+    # per-tile start offset into the sorted stream, in wblk block units.
+    # searchsorted is safe here: n_tiles (~R/256) queries, not per-element
+    # — the repo ban (train/lazy.py:12) is on [N]-query searchsorted.
     starts = jnp.searchsorted(ids_p, jnp.arange(n_tiles, dtype=jnp.int32)
                               * tile).astype(jnp.int32)
     blk0 = jnp.minimum(starts // wblk, npad // wblk - 2)

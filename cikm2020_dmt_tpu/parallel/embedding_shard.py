@@ -316,6 +316,11 @@ class ShardedEmbeddingEngine(EmbeddingEngine):
             uids = jnp.full((U,), R, jnp.int32).at[
                 jnp.where(first, seg, U)].set(
                     jnp.minimum(s, R), mode="drop")
+            # searchsorted is safe HERE (and only here): M+1 queries over a
+            # [U] sorted array — the vmapped binary-search while-loop it
+            # lowers to runs M+1 times, not per-element.  The repo-wide ban
+            # (train/lazy.py:12) is on [N]-query searchsorted over big
+            # arrays; do NOT copy this call into a per-element path.
             bounds = jnp.searchsorted(
                 uids, (jnp.arange(M + 1, dtype=jnp.int32)
                        * rows_per_shard)).astype(jnp.int32)

@@ -212,7 +212,13 @@ def _restore_for_eval(ckpt: CheckpointManager, step: int, model: BaseModel):
     dicts of arrays under either layout."""
     try:
         return ckpt.restore(step, _template(model))
-    except Exception:
+    except (ValueError, KeyError, TypeError) as e:
+        # Structure mismatch (lazy-Adam trainers store opt_state as
+        # {dense, lazy} instead of a single optax tree).  Anything else —
+        # missing files, corrupt arrays, OSErrors — must propagate: a
+        # silently degraded eval is worse than a crash.
+        log_line(f"eval restore: template mismatch ({type(e).__name__}), "
+                 "falling back to raw restore")
         return ckpt.restore(step)
 
 

@@ -495,6 +495,7 @@ class Trainer:
                 signal.signal(signal.SIGTERM, prev_handler)
         if step != start_step and not self.ckpt.has_step(step):
             self._save(tstate, step, metrics)
+        self.last_step = step  # final trained step (quality_ladder reads it)
         return task_metrics_values(metrics)
 
     def _save(self, tstate: dict, step: int, metrics) -> None:

@@ -66,6 +66,50 @@ class TestLearningSignal:
             init_vals, trained_vals)
 
 
+def _run_ladder_rung(rung: int, steps: int):
+    """Import scripts/quality_ladder.py (not a package) and run one rung."""
+    import importlib.util
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "scripts", "quality_ladder.py")
+    spec = importlib.util.spec_from_file_location("quality_ladder", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.run_rung(rung, os.path.join(os.path.dirname(__file__), "..",
+                                           mod.RUNGS[rung]),
+                        steps=steps, seed=42)
+
+
+@needs_demo_data
+class TestQualityLadder:
+    """BASELINE.json config-ladder evidence (VERDICT r2 next-round #2):
+    rungs 1-2 run in CI at reduced steps; the full 5-rung 185-step ladder
+    is scripts/quality_ladder.py (results recorded in PARITY.md) plus the
+    slow-marked full-chain test below."""
+
+    def test_rung1_mlp_learns(self):
+        row = _run_ladder_rung(1, steps=40)
+        assert row["test_overall_auc"]["click"] > 0.60, row
+        assert np.isfinite(row["train_streaming"]["loss"])
+
+    def test_rung2_embed_mlp_learns_and_beats_rung1_floor(self):
+        row = _run_ladder_rung(2, steps=40)
+        # embeddings memorize the tiny demo sample fast: well above the
+        # dense-only floor by 40 steps
+        assert row["test_overall_auc"]["click"] > 0.80, row
+        assert row["test_grouped_auc"]["2"] > 0.90, row
+
+    @pytest.mark.slow
+    def test_full_demo_chain_flagship(self):
+        """Full 185-step flagship chain tracks the recorded artifact
+        (PARITY.md: streaming test AUC click 1.0000 / order 0.9912).
+        A regression that halves learning quality fails here."""
+        row = _run_ladder_rung(5, steps=None)
+        assert row["test_streaming"]["click_auc"] > 0.99, row
+        assert row["test_streaming"]["order_auc"] > 0.95, row
+        assert row["test_overall_auc"]["click"] > 0.95, row
+
+
 class TestSummaryPlot:
     """cli.plot renders the JSONL summaries (the TensorBoard-role utility,
     reference run_dnn.py:243-256) to PNG + CSV."""
