@@ -79,6 +79,16 @@ def load_library():
         c.c_char_p, c.c_int64, c.c_int64, c.c_int, c.c_int, c.c_int,
         c.POINTER(c.c_int64), c.POINTER(c.c_int32), c.POINTER(c.c_int32),
         c.POINTER(c.c_int64)]
+    lib.dmt_hfact_create.restype = c.c_void_p
+    lib.dmt_hfact_create.argtypes = []
+    lib.dmt_hfact_feed.restype = c.c_int64
+    lib.dmt_hfact_feed.argtypes = [
+        c.c_void_p, c.c_char_p, c.c_int64, c.c_int64, c.c_int, c.c_int,
+        c.c_int, c.POINTER(c.c_int64), c.POINTER(c.c_int32),
+        c.POINTER(c.c_int32)]
+    lib.dmt_hfact_uniques.restype = c.c_int64
+    lib.dmt_hfact_uniques.argtypes = [c.c_void_p, c.c_int]
+    lib.dmt_hfact_destroy.argtypes = [c.c_void_p]
     lib.dmt_scan_tfrecord.restype = c.c_int64
     lib.dmt_scan_tfrecord.argtypes = [
         c.c_char_p, c.c_int64, c.POINTER(c.c_int64), c.POINTER(c.c_int64),
@@ -287,6 +297,72 @@ def factorize_headers(header_schema, headers) -> Optional[tuple]:
     if r != n:
         return None
     return labels, sid_codes.astype(np.int64), uuid_codes.astype(np.int64)
+
+
+class HeaderFactorizer:
+    """Streaming header parse+factorize for reference-scale eval splits.
+
+    Same semantics as :func:`factorize_headers` (first-occurrence
+    pd.factorize codes, asserted chunk-size-invariant by
+    tests/test_offline_metrics.py) but STATEFUL: headers are fed in
+    chunks and only O(unique groups) bytes stay resident in the native
+    hash arenas — the raw lines can be dropped after each feed.  This is
+    what lets ``run_eval`` survive the reference's 105.4M-row test split
+    (~20 GB of raw header text) on a small host
+    (reference metrics.py:134-199 holds the whole split in a DataFrame).
+
+    Raises RuntimeError on unparseable lines — callers that need a
+    fallback should catch and revert to list accumulation.
+    """
+
+    def __init__(self, header_schema):
+        idx = {name: i for i, name in enumerate(header_schema)}
+        self._label_i, self._sid_i = idx["label"], idx["sid"]
+        self._uuid_i = idx.get("uuid", self._sid_i)
+        self._lib = load_library()
+        self._h = self._lib.dmt_hfact_create()
+        self._labels: list[np.ndarray] = []
+        self._sid: list[np.ndarray] = []
+        self._uuid: list[np.ndarray] = []
+        self.rows = 0
+
+    def feed(self, headers) -> None:
+        """Consume one chunk (sequence of header byte lines)."""
+        n = len(headers)
+        if n == 0:
+            return
+        blob = b"\n".join(headers)
+        labels = np.empty(n, np.int64)
+        sid_codes = np.empty(n, np.int32)
+        uuid_codes = np.empty(n, np.int32)
+        r = self._lib.dmt_hfact_feed(
+            self._h, blob, len(blob), n, self._label_i, self._sid_i,
+            self._uuid_i, _ptr(labels, ctypes.c_int64),
+            _ptr(sid_codes, ctypes.c_int32), _ptr(uuid_codes, ctypes.c_int32))
+        if r != n:
+            raise RuntimeError(
+                f"native header factorize parsed {r}/{n} lines")
+        self._labels.append(labels)
+        self._sid.append(sid_codes)
+        self._uuid.append(uuid_codes)
+        self.rows += n
+
+    def result(self):
+        """(labels int64 [n], sid_codes int64 [n], uuid_codes int64 [n])."""
+        if not self._labels:
+            z64 = np.zeros(0, np.int64)
+            return z64, z64.copy(), z64.copy()
+        return (np.concatenate(self._labels),
+                np.concatenate(self._sid).astype(np.int64),
+                np.concatenate(self._uuid).astype(np.int64))
+
+    def __del__(self):
+        h, self._h = getattr(self, "_h", None), None
+        if h is not None:
+            try:
+                self._lib.dmt_hfact_destroy(h)
+            except Exception:
+                pass
 
 
 def scan_file(path: str) -> tuple[bytes, np.ndarray, np.ndarray]:

@@ -24,7 +24,8 @@ per-group Python-loop AUC at that size takes hours.
 
 from __future__ import annotations
 
-from typing import Sequence
+import os
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -107,6 +108,14 @@ class ParsedHeaders:
         self._raw = raw  # (header_schema, headers) for lazy sid/uuid parse
 
     def _materialize(self):
+        if self._raw is None:
+            raise RuntimeError(
+                "raw sid/uuid columns are unavailable: this ParsedHeaders "
+                "was built by the streaming collector (raw header lines "
+                "were dropped to bound memory at reference-split scale); "
+                "only labels and group codes exist.  Re-run with "
+                "DMT_EVAL_SPILL_ROWS high enough to retain raw lines if "
+                "save_scores_csv output is needed.")
         schema, headers = self._raw
         self.labels, self._sids, self._uuids = _parse_headers(schema, headers)
         self._raw = None
@@ -139,6 +148,66 @@ class ParsedHeaders:
                 got = pd.factorize(cu * span + cs)[0].astype(np.int64)
             self._codes[key] = got
         return got
+
+
+class HeaderCollector:
+    """Bounded-memory header accumulation for eval loops
+    (VERDICT r2 weak #6: the reference's 105.4M-row test split is ~20 GB
+    of raw header text — a Python list of bytes objects adds another
+    ~30 GB of object headers and never fits this host).
+
+    Below ``spill_rows`` it is a plain list (raw lines retained, so the
+    detail file / save_scores_csv paths are unaffected at demo scale).
+    At the threshold it feeds everything collected so far — and every
+    later chunk — to the native streaming factorizer
+    (data/native.HeaderFactorizer) and drops the raw lines; ``result()``
+    then returns a ParsedHeaders carrying labels + sid/uuid group codes
+    only, which is all any AUC/P@N/MRR metric needs.  If the native
+    library is unavailable the collector keeps the list and logs once
+    (fallback = today's behavior, memory-unbounded).
+    """
+
+    def __init__(self, header_schema, spill_rows: Optional[int] = None):
+        if spill_rows is None:
+            spill_rows = int(os.environ.get("DMT_EVAL_SPILL_ROWS",
+                                            2_000_000))
+        self.schema = list(header_schema)
+        self.spill_rows = spill_rows
+        self._raw: Optional[list] = []
+        self._fact = None
+        self.rows = 0
+
+    def __len__(self) -> int:
+        return self.rows
+
+    def extend(self, lines) -> None:
+        self.rows += len(lines)
+        if self._fact is not None:
+            self._fact.feed(lines)
+            return
+        self._raw.extend(lines)
+        if self.rows >= self.spill_rows:
+            try:
+                from ..data.native import HeaderFactorizer
+                fact = HeaderFactorizer(self.schema)
+                fact.feed(self._raw)
+            except Exception as e:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "streaming header factorize unavailable (%s); eval "
+                    "memory is unbounded for this split", e)
+                self.spill_rows = 1 << 62
+                return
+            self._fact = fact
+            self._raw = None
+
+    def result(self):
+        """list[bytes] (small splits) or ParsedHeaders (spilled)."""
+        if self._fact is None:
+            return self._raw
+        labels, sid_codes, uuid_codes = self._fact.result()
+        return ParsedHeaders(labels,
+                             codes={"sid": sid_codes, "uuid": uuid_codes})
 
 
 def parse_headers(header_schema, headers) -> ParsedHeaders:

@@ -73,8 +73,19 @@ def make_eval_step(cfg: DMTConfig, model: BaseModel, rel_only: bool = False,
 def run_eval(cfg: DMTConfig, model: BaseModel, params, mstate,
              data_path: str, batch_size: int, *, rel_only: bool = False,
              data_iter: Optional[Iterator[Batch]] = None, mesh=None,
-             collect_gates: bool = False):
+             collect_gates: bool = False, detail_file: Optional[str] = None):
     """Drain an eval split; returns (metric values, headers, p_clk, p_ord).
+
+    ``headers`` is a list of raw lines for small splits, or a
+    ``ParsedHeaders`` (labels + group codes, no raw lines) once the split
+    crosses the streaming-collector threshold — every offline metric
+    accepts either (metrics/offline.HeaderCollector; the reference's
+    run_dnn.py:554-576 holds all headers in RAM and cannot survive its
+    own 105.4M-row split).
+
+    With ``detail_file``, per-row "header\\tp_clk\\tp_ord" lines stream to
+    disk batch-by-batch (the reference predict()'s detail dump,
+    run_dnn.py:833-849) regardless of collector spill.
 
     With ``mesh``, batches shard over the data axis and the sharded
     embedding engine serves row-split tables (multi-chip eval).
@@ -89,7 +100,7 @@ def run_eval(cfg: DMTConfig, model: BaseModel, params, mstate,
         bsh = batch_sharding(mesh)
     step_fn = make_eval_step(cfg, model, rel_only, collect_gates)
     metrics = task_metrics_init()
-    headers: list[bytes] = []
+    collector = offline.HeaderCollector(cfg.header_schema)
     clk_scores: list[np.ndarray] = []
     ord_scores: list[np.ndarray] = []
     gate_total: Optional[np.ndarray] = None
@@ -99,20 +110,35 @@ def run_eval(cfg: DMTConfig, model: BaseModel, params, mstate,
         data_iter = prefetch(make_input_stream(
             cfg, data_path, batch_size, epochs=1, shuffle=False,
             drop_remainder=False, pad_remainder=True))
-    for batch in data_iter:
-        if mesh is not None:
-            jb = {k: jax.device_put(v, bsh) for k, v in batch.arrays.items()}
-        else:
-            jb = {k: jax.numpy.asarray(v) for k, v in batch.arrays.items()}
-        metrics, p_ctr, p_cvr, gate_sum = step_fn(params, mstate, metrics, jb)
-        n_valid = int(batch["valid"].sum())
-        clk_scores.append(np.asarray(p_ctr)[:n_valid])
-        ord_scores.append(np.asarray(p_cvr)[:n_valid])
-        headers.extend(batch.headers[:n_valid])
-        if gate_sum is not None:
-            gs = np.asarray(gate_sum, np.float64)
-            gate_total = gs if gate_total is None else gate_total + gs
-            n_total += n_valid
+    detail = open(detail_file, "a") if detail_file else None
+    try:
+        for batch in data_iter:
+            if mesh is not None:
+                jb = {k: jax.device_put(v, bsh)
+                      for k, v in batch.arrays.items()}
+            else:
+                jb = {k: jax.numpy.asarray(v) for k, v in batch.arrays.items()}
+            metrics, p_ctr, p_cvr, gate_sum = step_fn(
+                params, mstate, metrics, jb)
+            n_valid = int(batch["valid"].sum())
+            pc = np.asarray(p_ctr)[:n_valid]
+            po = np.asarray(p_cvr)[:n_valid]
+            clk_scores.append(pc)
+            ord_scores.append(po)
+            lines = batch.headers[:n_valid]
+            collector.extend(lines)
+            if detail is not None:
+                detail.writelines(
+                    h.decode() + f"\t{sc}\t{so}\n"
+                    for h, sc, so in zip(lines, pc, po))
+            if gate_sum is not None:
+                gs = np.asarray(gate_sum, np.float64)
+                gate_total = gs if gate_total is None else gate_total + gs
+                n_total += n_valid
+    finally:
+        if detail is not None:
+            detail.close()
+    headers = collector.result()
     p_clk = np.concatenate(clk_scores) if clk_scores else np.zeros(0)
     p_ord = np.concatenate(ord_scores) if ord_scores else np.zeros(0)
     vals = task_metrics_values(metrics)
@@ -258,11 +284,12 @@ def predict(cfg: DMTConfig, ckpt_step: int, test_tag: str = "",
         if collect_gates:
             vals, headers, p_clk, p_ord, gate_mean = run_eval(
                 cfg, model, params, mstate, test_path, cfg.test_batch_size,
-                rel_only=rel_only, collect_gates=True)
+                rel_only=rel_only, collect_gates=True,
+                detail_file=detail_file)
         else:
             vals, headers, p_clk, p_ord = run_eval(
                 cfg, model, params, mstate, test_path, cfg.test_batch_size,
-                rel_only=rel_only)
+                rel_only=rel_only, detail_file=detail_file)
         log_line(f"test[{test_path}]: " + " | ".join(
             f"{k} {v:.6f}" for k, v in vals.items()))
         log_to_file("\n".join([f">> ckpt:{ckpt_step} path:{test_path}"] +
@@ -278,9 +305,6 @@ def predict(cfg: DMTConfig, ckpt_step: int, test_tag: str = "",
             log_line("mean gate softmax per task: " + "; ".join(
                 f"{task} {np.array2string(gate_mean[t], precision=4)}"
                 for t, task in enumerate(("click", "order")[:gate_mean.shape[0]])))
-        with open(detail_file, "a") as f:
-            for h, sc, so in zip(headers, p_clk, p_ord):
-                f.write(h.decode() + f"\t{sc}\t{so}\n")
         total = p_clk + p_ord  # reference total score (run_dnn.py:833-849)
         # parse the header lines once; every metric call below (and the
         # optional grid search) shares the ParsedHeaders + group codes

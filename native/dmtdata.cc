@@ -567,14 +567,11 @@ void dmt_ctx_finalize(void* p) { static_cast<Ctx*>(p)->Finalize(); }
 // byte-identical to the pandas path the tests compare against).  Returns
 // the number of lines parsed, or -1 if it disagrees with n_expected.
 // n_uniq[0]/n_uniq[1] receive the sid/uuid unique counts.
-int64_t dmt_factorize_headers(const uint8_t* blob, int64_t blob_len,
-                              int64_t n_expected, int label_field,
-                              int sid_field, int uuid_field,
-                              int64_t* labels, int32_t* sid_codes,
-                              int32_t* uuid_codes, int64_t* n_uniq) {
-  FlatMap sid_map, uuid_map;
-  sid_map.Reserve(1024);
-  uuid_map.Reserve(1024);
+static int64_t FactorizeScan(FlatMap& sid_map, FlatMap& uuid_map,
+                             const uint8_t* blob, int64_t blob_len,
+                             int64_t n_expected, int label_field,
+                             int sid_field, int uuid_field, int64_t* labels,
+                             int32_t* sid_codes, int32_t* uuid_codes) {
   auto code_of = [](FlatMap& m, const uint8_t* v, size_t n) -> int32_t {
     uint64_t h = Fnv1a64(v, n);
     int32_t got = m.Find(v, n, h);
@@ -610,10 +607,62 @@ int64_t dmt_factorize_headers(const uint8_t* blob, int64_t blob_len,
     if (eol == blob_len) break;
   }
   if (row != n_expected || i < blob_len) return -1;
+  return row;
+}
+
+int64_t dmt_factorize_headers(const uint8_t* blob, int64_t blob_len,
+                              int64_t n_expected, int label_field,
+                              int sid_field, int uuid_field,
+                              int64_t* labels, int32_t* sid_codes,
+                              int32_t* uuid_codes, int64_t* n_uniq) {
+  FlatMap sid_map, uuid_map;
+  sid_map.Reserve(1024);
+  uuid_map.Reserve(1024);
+  int64_t row =
+      FactorizeScan(sid_map, uuid_map, blob, blob_len, n_expected,
+                    label_field, sid_field, uuid_field, labels, sid_codes,
+                    uuid_codes);
+  if (row < 0) return -1;
   n_uniq[0] = static_cast<int64_t>(sid_map.size);
   n_uniq[1] = static_cast<int64_t>(uuid_map.size);
   return row;
 }
+
+// Stateful (streaming) variant for reference-scale eval splits
+// (reference metrics.py:134-199 fork-pools over a full in-RAM DataFrame;
+// at its real 105.4M-row test split the raw headers alone are ~20 GB, so
+// our eval loop feeds header lines chunk-by-chunk and keeps only the
+// int64 labels + int32 group codes).  The FlatMaps copy key bytes into
+// their own arena, so callers may free each chunk after feeding; resident
+// state is O(unique sids + unique uuids), not O(rows).
+struct HFact {
+  FlatMap sid, uuid;
+};
+
+void* dmt_hfact_create() {
+  auto* h = new HFact();
+  h->sid.Reserve(1024);
+  h->uuid.Reserve(1024);
+  return h;
+}
+
+int64_t dmt_hfact_feed(void* p, const uint8_t* blob, int64_t blob_len,
+                       int64_t n_expected, int label_field, int sid_field,
+                       int uuid_field, int64_t* labels, int32_t* sid_codes,
+                       int32_t* uuid_codes) {
+  auto* h = static_cast<HFact*>(p);
+  return FactorizeScan(h->sid, h->uuid, blob, blob_len, n_expected,
+                       label_field, sid_field, uuid_field, labels,
+                       sid_codes, uuid_codes);
+}
+
+// which: 0 = sid uniques, 1 = uuid uniques
+int64_t dmt_hfact_uniques(void* p, int which) {
+  auto* h = static_cast<HFact*>(p);
+  return static_cast<int64_t>(which == 0 ? h->sid.size : h->uuid.size);
+}
+
+void dmt_hfact_destroy(void* p) { delete static_cast<HFact*>(p); }
 
 // Batch vocab/OOV/hash id mapping for the serving request path: values is
 // the concatenation of n raw byte ids, offsets its n+1 boundaries.  Same

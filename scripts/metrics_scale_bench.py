@@ -37,7 +37,61 @@ def synth(n_rows: int, n_groups: int, seed: int = 0):
     return [h.encode() for h in headers], scores, labels, gid
 
 
+def peak_rss_gb() -> float:
+    import resource
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def stream_bench(n_rows: int, n_groups: int, chunk: int = 1_000_000):
+    """Reference-split-scale run (VERDICT r2 next-round #4): headers are
+    produced and consumed in chunks through metrics/offline.HeaderCollector
+    — the run_eval accumulation path — so the raw lines never exist as one
+    list.  Reports wall time + peak RSS; the reference holds the whole
+    split in a DataFrame + fork-pool copies (metrics.py:134-199), which at
+    105.4M rows is ~50+ GB before metrics start."""
+    from cikm2020_dmt_tpu.metrics.offline import HeaderCollector
+    schema = ["label", "sid", "uuid"]
+    col = HeaderCollector(schema)
+    scores_chunks = []
+    t0 = time.time()
+    for start in range(0, n_rows, chunk):
+        m = min(chunk, n_rows - start)
+        headers, scores, _, _ = synth(m, n_groups, seed=start // chunk)
+        col.extend(headers)
+        scores_chunks.append(scores)
+        del headers
+    scores = np.concatenate(scores_chunks)
+    del scores_chunks
+    t_feed = time.time() - t0
+    spilled = col._fact is not None
+    print(f"stream-feed {n_rows} rows: {t_feed:.1f}s "
+          f"(spilled={spilled}, peak RSS {peak_rss_gb():.1f} GB)")
+
+    ph = col.result()
+    t0 = time.time()
+    pm = precision_mrr_at_n(schema, ph, scores)
+    t_pm = time.time() - t0
+    print(f"precision_mrr_at_n: {t_pm:.1f}s  "
+          f"P@4[click]={pm[CLICK][0][1]:.4f}")
+    t0 = time.time()
+    ga = grouped_auc(schema, ph, scores)
+    t_ga = time.time() - t0
+    print(f"grouped_auc:        {t_ga:.1f}s  click={ga[CLICK]:.4f}")
+    t0 = time.time()
+    oa = overall_auc(schema, ph, scores)
+    t_oa = time.time() - t0
+    print(f"overall_auc:        {t_oa:.1f}s  click={oa[CLICK]:.4f}")
+    print(f"TOTAL metrics {t_pm + t_ga + t_oa:.1f}s on {n_rows} rows, "
+          f"peak RSS {peak_rss_gb():.1f} GB")
+
+
 def main():
+    if "--stream" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--stream"]
+        n_rows = int(args[0]) if args else 105_400_000
+        n_groups = int(args[1]) if len(args) > 1 else n_rows // 10
+        stream_bench(n_rows, n_groups)
+        return
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_groups = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     schema = ["label", "sid", "uuid"]
