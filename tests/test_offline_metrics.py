@@ -214,3 +214,67 @@ class TestNativeHeaderFactorize:
         with pytest.raises(Exception):
             # ...which then (correctly, like before) rejects short rows
             offline.parse_headers(SCHEMA, headers)
+
+
+class TestStreamingHeaderCollector:
+    """Bounded-memory eval accumulation (VERDICT r2 weak #6): the
+    chunk-fed native factorizer and the HeaderCollector spill path must
+    reproduce the one-shot results exactly."""
+
+    def _data(self, n=30000, seed=3):
+        rng = np.random.default_rng(seed)
+        sids = rng.integers(0, 3000, n)
+        uuids = rng.integers(0, 2000, n)
+        labels = rng.choice([0, 1, 2, 4, 5], n, p=[.8, .05, .08, .04, .03])
+        return _make_headers(sids, uuids, labels), rng.random(n)
+
+    def test_stateful_factorizer_chunk_invariant(self):
+        from cikm2020_dmt_tpu.data.native import (HeaderFactorizer,
+                                                  factorize_headers)
+        headers, _ = self._data()
+        rng = np.random.default_rng(0)
+        bounds = sorted(rng.integers(1, len(headers), 6).tolist())
+        fact = HeaderFactorizer(SCHEMA)
+        prev = 0
+        for b in bounds + [len(headers)]:
+            fact.feed(headers[prev:b])
+            prev = b
+        la, sc, uc = fact.result()
+        la0, sc0, uc0 = factorize_headers(SCHEMA, headers)
+        np.testing.assert_array_equal(la, la0)
+        np.testing.assert_array_equal(sc, sc0)
+        np.testing.assert_array_equal(uc, uc0)
+
+    def test_collector_spill_metric_parity(self):
+        from cikm2020_dmt_tpu.metrics.offline import HeaderCollector
+        headers, scores = self._data()
+        col = HeaderCollector(SCHEMA, spill_rows=5000)
+        for i in range(0, len(headers), 777):
+            col.extend(headers[i:i + 777])
+        ph = col.result()
+        assert not isinstance(ph, list)  # spilled
+        assert offline.grouped_auc(SCHEMA, ph, scores) == \
+            offline.grouped_auc(SCHEMA, headers, scores)
+        assert offline.overall_auc(SCHEMA, ph, scores) == \
+            offline.overall_auc(SCHEMA, headers, scores)
+        pm1 = offline.precision_mrr_at_n(SCHEMA, ph, scores)
+        pm2 = offline.precision_mrr_at_n(SCHEMA, headers, scores)
+        for k in pm1:
+            np.testing.assert_array_equal(pm1[k][0], pm2[k][0])
+            np.testing.assert_array_equal(pm1[k][1], pm2[k][1])
+
+    def test_collector_below_threshold_returns_list(self):
+        from cikm2020_dmt_tpu.metrics.offline import HeaderCollector
+        headers, _ = self._data(n=500)
+        col = HeaderCollector(SCHEMA, spill_rows=10_000)
+        col.extend(headers)
+        assert col.result() == headers
+
+    def test_spilled_raw_access_raises_clear_error(self):
+        from cikm2020_dmt_tpu.metrics.offline import HeaderCollector
+        headers, _ = self._data(n=6000)
+        col = HeaderCollector(SCHEMA, spill_rows=1000)
+        col.extend(headers)
+        ph = col.result()
+        with pytest.raises(RuntimeError, match="streaming collector"):
+            _ = ph.sids
