@@ -43,10 +43,12 @@ def main() -> None:
                          validate_step=10**9,
                          compute_dtype=os.environ.get("DMT_BENCH_DTYPE",
                                                       "bfloat16"),
-                         # A/B hook: DMT_TABLE_BF16_ROWS=1000000 stores the
-                         # 5M-row Sku table in bf16 (halved gather bytes)
+                         # bf16 big tables are the config default since
+                         # the r3 A/B (83.1k -> 89.4k ex/s); the env hook
+                         # remains for A/Bs: DMT_TABLE_BF16_ROWS=0 = f32
                          table_bf16_threshold=int(
-                             os.environ.get("DMT_TABLE_BF16_ROWS", "0")))
+                             os.environ.get("DMT_TABLE_BF16_ROWS",
+                                            "1000000")))
     trainer = Trainer(cfg)
     tstate = trainer.shard_state(trainer.init_state())
     step_fn = trainer._train_step()

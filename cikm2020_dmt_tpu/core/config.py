@@ -335,6 +335,17 @@ class DMTConfig:
     # (collective moves ~2*(bL/dedup_budget_div)*D bytes) instead of the
     # full-grid [B, L, D] psum; falls back to the psum on budget overflow
     shard_seq_exchange: bool = True
+    # full-mesh table sharding (parallel/full_shard.py): big lazy-Adam
+    # tables split their rows over EVERY device (data x model) and
+    # exchange looked-up rows / gradient row-blocks with all_to_all —
+    # per-chip collective traffic is then bound by the PER-CHIP batch, not
+    # the global batch, which is what multi-host weak scaling needs
+    # (results/scaling_analysis_r3.json measured the global-union
+    # alternative growing ~157 MB per added data shard).  Applies when the
+    # mesh has >1 device and the table divides evenly; overflow semantics:
+    # forward falls back to an exact fetch, over-budget/capacity rows skip
+    # their gradient for the step (counted in lazy_overflow).
+    full_mesh_tables: bool = True
     # store embedding tables packed 128//dim logical rows per 128-lane
     # physical row: TPU gathers/scatters cost per (8,128) tile, so packing
     # measured 15x faster gathers / 6.7x faster scatter-adds at equal
@@ -348,10 +359,13 @@ class DMTConfig:
     # is memory-bound, not FLOP-bound).  Update math stays exact: the
     # lazy-Adam moments are f32, the row update computes in f32 and
     # rounds once to bf16 on write-back, and the union-grid backward
-    # accumulates its segment-sum in f32.  0 = off (default — flip after
-    # an on-chip A/B; pair with lazy_adam: the dense optax path would
-    # lose small updates to bf16 param += rounding)
-    table_bf16_threshold: int = 0
+    # accumulates its segment-sum in f32.  ON by default since the
+    # round-3 on-chip A/B: 83.1k -> 89.4k ex/s (+7.6%) on the flagship
+    # step (TPU v5e, batch 4096), with the full demo chain reproducing
+    # the f32 artifact's test AUCs to 4 decimals (PARITY.md).  Pair with
+    # lazy_adam: the dense optax path would lose small updates to bf16
+    # `param += tiny` rounding.  0 disables.
+    table_bf16_threshold: int = 1_000_000
     mesh_data: int = 0   # 0 = auto: all devices not used by the model axis
     mesh_model: int = 1
     # host input pipeline: concurrent batch assemblers (the C++ parse

@@ -80,12 +80,22 @@ def param_shardings(cfg: DMTConfig, params, mesh: Mesh):
     per GPU.
     """
     model_size = mesh.shape[MODEL_AXIS]
+    n_dev = model_size * mesh.shape[DATA_AXIS]
+    from ..parallel.full_shard import fms_table_rows
+    fms = fms_table_rows(cfg, n_dev)
 
     def shard_of(path, leaf):
         keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
         in_table = any(k in ("emb", "emb_bias") for k in keys)
-        if (in_table and hasattr(leaf, "ndim") and leaf.ndim == 2
-                and leaf.shape[0] >= cfg.shard_rows_threshold
+        if not (in_table and hasattr(leaf, "ndim") and leaf.ndim == 2):
+            return NamedSharding(mesh, P())
+        # full-mesh tables: rows over every device (data x model), the
+        # all_to_all engine's layout (parallel/full_shard.py); the leaf
+        # key IS the table name for params["emb"][name]
+        name = keys[-1]
+        if name in fms and leaf.shape[0] == fms[name]:
+            return NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None))
+        if (leaf.shape[0] >= cfg.shard_rows_threshold
                 and leaf.shape[0] % model_size == 0
                 and model_size > 1):
             return NamedSharding(mesh, P(MODEL_AXIS, None))

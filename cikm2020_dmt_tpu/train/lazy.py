@@ -70,6 +70,9 @@ class LazyTableSpec:
     pack: int                             # logical rows per physical row
     dim: int                              # logical embedding dim
     sharded: bool = False                 # row-split over the model axis
+    full_mesh: bool = False               # row-split over data x model
+    #   (parallel/full_shard.py: per-data-shard unions + all_to_all row
+    #   and gradient exchange; takes precedence over ``sharded``)
 
 
 @dataclass
@@ -88,11 +91,19 @@ class LazyCollection:
 
 @dataclass
 class LazyOverlay:
-    """What the engine consults per lookup: the union grid + site map."""
+    """What the engine consults per lookup: the union grid + site map.
+
+    ``shards > 1`` (full-mesh tables): the grid is DATA-SHARD-MAJOR
+    ([data * n_local, Dphys], P(data)) and ``offsets`` are per-shard
+    local — ``overlay_take`` slices per shard through a [data, n_local,
+    Dphys] view (local reshapes under GSPMD: every dim division is
+    shard-aligned)."""
     grid: jnp.ndarray       # [N, Dphys] differentiable union lookup
     offsets: dict           # id(ids_array) -> (offset, numel)
     pack: int
     dim: int
+    shards: int = 1         # data-shard count of the grid layout
+    shard_len: int = 0      # n_local (grid rows per shard)
 
 
 def build_lazy_plan(cfg: DMTConfig, mesh, engine) -> tuple[LazyTableSpec, ...]:
@@ -119,11 +130,14 @@ def build_lazy_plan(cfg: DMTConfig, mesh, engine) -> tuple[LazyTableSpec, ...]:
     collective per lookup.  The Adam update is fully LOCAL: each shard
     gathers its own moments and drop-scatters only the rows it owns
     (lazy_adam_rows_sharded) — no collective on the update side."""
-    from ..core.mesh import MODEL_AXIS
+    from ..core.mesh import DATA_AXIS, MODEL_AXIS
     if not (cfg.lazy_adam and cfg.optimizer.lower() == "adam"
             and cfg.wnd_wd <= 1e-5):
         return ()
     M = 1 if mesh is None else mesh.shape.get(MODEL_AXIS, 1)
+    n_dev = M if mesh is None else M * mesh.shape.get(DATA_AXIS, 1)
+    from ..parallel.full_shard import fms_table_rows
+    fms = fms_table_rows(cfg, n_dev) if mesh is not None else {}
     ts_feats = frozenset(cfg.attention_ts)
     by_table: dict[str, list] = {}
     for spec in cfg.embeddings:
@@ -139,14 +153,18 @@ def build_lazy_plan(cfg: DMTConfig, mesh, engine) -> tuple[LazyTableSpec, ...]:
         # physical (packed) rows decide sharding — must agree with
         # core.mesh.param_shardings, which looks at the array shape
         rphys = -(-max(s.id_size for s in specs) // pack)
-        # a non-divisible / small table on a model mesh stays replicated
-        # (matching param_shardings' fallback) and takes the plain path:
-        # its grads psum over every mesh axis automatically
-        sharded = (M > 1 and rphys >= cfg.shard_rows_threshold
+        # full-mesh sharding takes precedence (parallel/full_shard.py:
+        # per-chip-batch-bound all_to_all traffic); a non-divisible /
+        # small table on a model mesh stays replicated (matching
+        # param_shardings' fallback) and takes the plain path: its grads
+        # psum over every mesh axis automatically
+        full_mesh = tname in fms
+        sharded = (not full_mesh and M > 1
+                   and rphys >= cfg.shard_rows_threshold
                    and rphys % M == 0)
         out.append(LazyTableSpec(
             tname, tuple((s.feature, s.id_size) for s in specs),
-            pack, specs[0].dim, sharded))
+            pack, specs[0].dim, sharded, full_mesh))
     return tuple(out)
 
 
@@ -230,6 +248,20 @@ def make_overlay(spec: LazyTableSpec, col: LazyCollection,
     gradient is skipped for that step.  The [N, Dphys] fallback gather
     (~0.127us/row scatter-law cost) sits under a ``lax.cond`` on the
     overflow counter: steady-state no-overflow steps never execute it."""
+    if spec.full_mesh:
+        # per-data-shard grid build (all local math; the rows were
+        # fetched by collect_fms's all_to_all exchange).  The
+        # lazy_overflow_exact fallback is not available here — budget-
+        # overflowed elements read zeros and the counter reports them
+        # (documented deviation; raise dedup_budget_div's denominator or
+        # DMT_FMS_CAP_MULT if it fires)
+        from ..core.mesh import DATA_AXIS
+        from ..parallel.full_shard import overlay_grid_fms
+        d_sz = mesh.shape[DATA_AXIS]
+        grid = overlay_grid_fms(mesh, rows_diff, col)
+        n_local = grid.shape[0] // d_sz
+        return LazyOverlay(grid, col.offsets, spec.pack, spec.dim,
+                           shards=d_sz, shard_len=n_local)
     rows_ext = jnp.concatenate(
         [rows_diff, jnp.zeros((1, rows_diff.shape[1]), rows_diff.dtype)])
     grid = take_rows_sparse_sorted(rows_ext, col.pos, col.order,
@@ -264,8 +296,16 @@ def overlay_take(ov: LazyOverlay, ids: jnp.ndarray) -> jnp.ndarray:
             "plan collected; exclude the table from lazy_adam or route "
             "the lookup through the batch array unchanged")
     off, numel = site
-    flat = jax.lax.slice_in_dim(ov.grid, off, off + numel, axis=0)
-    grid = flat.reshape(*ids.shape, ov.grid.shape[-1])
+    if ov.shards > 1:
+        # shard-major grid: slice each data shard's local range, then
+        # stitch back to batch-major (batch is data-shard-major too)
+        dp = ov.grid.shape[-1]
+        g3 = ov.grid.reshape(ov.shards, ov.shard_len, dp)
+        seg = jax.lax.slice_in_dim(g3, off, off + numel, axis=1)
+        grid = seg.reshape(*ids.shape, dp)
+    else:
+        flat = jax.lax.slice_in_dim(ov.grid, off, off + numel, axis=0)
+        grid = flat.reshape(*ids.shape, ov.grid.shape[-1])
     if ov.pack > 1:
         from ..nn.embedding import select_packed
         slot = ids - (ids // ov.pack) * ov.pack

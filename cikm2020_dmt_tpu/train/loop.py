@@ -82,6 +82,7 @@ def _lazy_step(trainer: "Trainer", tstate: dict, batch: dict, rng):
     touched rows of param/m/v in place (donated buffers)."""
     import optax as _optax
 
+    from ..parallel.full_shard import collect_fms, fms_adam_update
     from .lazy import collect, lazy_adam_rows, lazy_adam_rows_sharded, \
         make_overlay
 
@@ -89,8 +90,10 @@ def _lazy_step(trainer: "Trainer", tstate: dict, batch: dict, rng):
     engine = trainer.model.engine
     mesh = trainer.mesh
     params = tstate["params"]
-    cols = {t.name: collect(t, batch, params["emb"][t.name],
-                            cfg.dedup_budget_div, mesh=mesh)
+    cols = {t.name: (collect_fms(t, batch, params["emb"][t.name], mesh,
+                                 cfg.dedup_budget_div) if t.full_mesh
+                     else collect(t, batch, params["emb"][t.name],
+                                  cfg.dedup_budget_div, mesh=mesh))
             for t in trainer.lazy_plan}
     rows = {name: c.rows for name, c in cols.items()}
     dense = trainer._dense_params(params)
@@ -126,6 +129,14 @@ def _lazy_step(trainer: "Trainer", tstate: dict, batch: dict, rng):
     lazy_opt = {}
     for t in trainer.lazy_plan:
         c = cols[t.name]
+        if t.full_mesh:
+            tab, mv = fms_adam_update(
+                mesh, params["emb"][t.name],
+                tstate["lazy_opt"][t.name]["mv"], c.uids,
+                g_rows[t.name], count, trainer._schedule)
+            new_params["emb"][t.name] = tab
+            lazy_opt[t.name] = {"mv": mv}
+            continue
         update = (lazy_adam_rows_sharded if t.sharded
                   else lazy_adam_rows)
         args = (mesh,) if t.sharded else ()

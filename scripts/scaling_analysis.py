@@ -103,6 +103,8 @@ def collective_rows(hlo: str, mesh_shape: tuple[int, int]):
         nbytes = shape_bytes(m.group(1))
         ids = _first_group(line)
         axis = "unknown"
+        if ids is not None and len(ids) == 1:
+            axis = "self"   # degenerate single-device group: zero traffic
         if ids and len(ids) >= 2:
             datas = {i // m_sz for i in ids}
             models = {i % m_sz for i in ids}
@@ -160,7 +162,13 @@ def main() -> None:
     # --- measure per-axis bytes on the virtual-device meshes ------------
     print("lowering (data=8, model=1) DP-lazy at per-chip batch 4096 ...",
           flush=True)
-    hlo_dp = lower_step(8, 1, batch=8 * 4096)
+    # sharding threshold set so the big tables are ELIGIBLE for full-mesh
+    # sharding on the pure-data mesh too (full_mesh_tables default); set
+    # DMT_SCALING_LEGACY=1 to reproduce the pre-fms global-union numbers
+    # recorded in results/scaling_analysis_r3.json's history
+    legacy = os.environ.get("DMT_SCALING_LEGACY", "0") == "1"
+    hlo_dp = lower_step(8, 1, batch=8 * 4096,
+                        shard_rows_threshold=(1 << 62) if legacy else 131072)
     rows_dp = collective_rows(hlo_dp, (8, 1))
     print("lowering (data=2, model=4) row-split at per-chip batch 4096 ...",
           flush=True)
@@ -250,6 +258,8 @@ def main() -> None:
             t_model = t_data_ici = 0.0
             data_bytes = 0.0
             for (a, k), v in tal.items():
+                if a == "self":
+                    continue       # single-device group: no wire traffic
                 if a == "model":
                     t_model += ring_ms(v, model_sz, ICI_BW, k)
                     continue

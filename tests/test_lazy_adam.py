@@ -419,9 +419,11 @@ class TestDataParallelLazy:
 class TestShardedLazy:
     """Lazy Adam with row-split tables on a (data x model) mesh: union
     rows exchanged once per step (shard_take_rows), update local per
-    shard (lazy_adam_rows_sharded)."""
+    shard (lazy_adam_rows_sharded).  Pinned to the model-axis flavor
+    (full_mesh_tables=False); the default full-mesh flavor is covered by
+    TestFullMeshLazy."""
 
-    SKW = dict(KW, shard_rows_threshold=512)
+    SKW = dict(KW, shard_rows_threshold=512, full_mesh_tables=False)
 
     def _mesh(self, data, model):
         devs = jax.devices()
@@ -484,3 +486,128 @@ class TestShardedLazy:
         assert a[0] == pytest.approx(b_[0], rel=1e-5)
         np.testing.assert_allclose(a[1], b_[1], atol=1e-4, err_msg="Sku")
         np.testing.assert_allclose(a[2], b_[2], atol=1e-4, err_msg="mv")
+
+
+class TestFullMeshLazy:
+    """Full-mesh table sharding (parallel/full_shard.py): rows split over
+    data x model, per-data-shard unions, all_to_all row fetch + gradient
+    push.  Parity targets: the single-device lazy step and the dense-Adam
+    step (same contracts the model-axis flavor meets)."""
+
+    FKW = dict(KW, shard_rows_threshold=512, dedup_budget_div=1)
+    # div=1: the per-shard budget covers every unique id, so parity runs
+    # never hit the overflow/capacity paths (those are tested separately)
+
+    def _mesh(self, data, model):
+        devs = jax.devices()
+        if len(devs) < data * model:
+            pytest.skip(f"needs {data * model} devices")
+        return Mesh(np.array(devs[:data * model]).reshape(data, model),
+                    ("data", "model"))
+
+    def test_plan_marks_full_mesh(self):
+        for data, model in ((2, 4), (8, 1)):
+            cfg = g._demo_config(mesh_data=data, mesh_model=model,
+                                 **self.FKW)
+            tr = Trainer(cfg, mesh=self._mesh(data, model))
+            by_name = {t.name: t for t in tr.lazy_plan}
+            # packed Sku: 1024 phys rows, divisible by 8 -> full mesh
+            assert by_name["Sku"].full_mesh and not by_name["Sku"].sharded
+            # packed Cid3: 128 phys rows < threshold -> replicated plan
+            assert "Cid3" in by_name and not by_name["Cid3"].full_mesh
+
+    def test_param_sharding_spans_both_axes(self):
+        from cikm2020_dmt_tpu.core.mesh import param_shardings
+        cfg = g._demo_config(mesh_data=2, mesh_model=4, **self.FKW)
+        tr = Trainer(cfg, mesh=self._mesh(2, 4))
+        ts = tr.init_state()
+        psh = param_shardings(cfg, ts["params"], tr.mesh)
+        spec = psh["emb"]["Sku"].spec
+        assert tuple(spec) == (("data", "model"), None), spec
+
+    @pytest.mark.parametrize("data,model", [(2, 4), (4, 2), (8, 1)])
+    def test_matches_single_device_lazy(self, data, model):
+        batch = g.synthetic_batch(g._demo_config(**self.FKW), 64)
+        results = {}
+        for d, m in ((1, 1), (data, model)):
+            cfg = g._demo_config(mesh_data=d, mesh_model=m, **self.FKW)
+            tr = Trainer(cfg, mesh=self._mesh(d, m))
+            by_name = {t.name: t for t in tr.lazy_plan}
+            if (d, m) != (1, 1):
+                assert by_name["Sku"].full_mesh
+            ts = tr.shard_state(tr.init_state())
+            step = tr._train_step()
+            b = tr.device_batch(g._as_batch(batch))
+            ts, _, loss = step(ts, task_metrics_init(), b,
+                               jax.random.fold_in(jax.random.key(
+                                   0, impl="rbg"), 0))
+            assert int(ts["lazy_overflow"]) == 0
+            results[(d, m)] = (
+                float(loss),
+                np.asarray(ts["params"]["emb"]["Sku"]),
+                np.asarray(ts["lazy_opt"]["Sku"]["mv"]))
+        a, b_ = results[(1, 1)], results[(data, model)]
+        assert a[0] == pytest.approx(b_[0], rel=1e-5)
+        np.testing.assert_allclose(a[1], b_[1], atol=1e-4, err_msg="Sku")
+        np.testing.assert_allclose(a[2], b_[2], atol=1e-4, err_msg="mv")
+
+    def test_first_step_matches_dense_adam(self):
+        batch = g.synthetic_batch(g._demo_config(**self.FKW), 64)
+        results = {}
+        for lazy in (True, False):
+            cfg = g._demo_config(mesh_data=2, mesh_model=4, lazy_adam=lazy,
+                                 **self.FKW)
+            tr = Trainer(cfg, mesh=self._mesh(2, 4))
+            ts = tr.shard_state(tr.init_state())
+            step = tr._train_step()
+            b = tr.device_batch(g._as_batch(batch))
+            ts, _, loss = step(ts, task_metrics_init(), b,
+                               jax.random.fold_in(jax.random.key(
+                                   0, impl="rbg"), 0))
+            results[lazy] = (float(loss),
+                             np.asarray(ts["params"]["emb"]["Sku"]),
+                             np.asarray(ts["params"]["emb"]["Cid3"]))
+        assert results[True][0] == pytest.approx(results[False][0],
+                                                 abs=1e-4)
+        np.testing.assert_allclose(results[True][1], results[False][1],
+                                   atol=1e-4, err_msg="Sku")
+        np.testing.assert_allclose(results[True][2], results[False][2],
+                                   atol=1e-4, err_msg="Cid3")
+
+    def test_capacity_overflow_counted_and_forward_exact(self):
+        """Tiny DMT_FMS_CAP_MULT forces bucket-capacity overflow: the
+        forward must fall back to the exact fetch (loss matches the
+        roomy-capacity run) and the overflow counter must fire."""
+        import os
+        # big table (rows_per_device >> capacity floor) + near-unique sku
+        # ids spread over the full range: uniques-per-owner must exceed
+        # cap*U/N + 128 for the 0.01 run to actually overflow — a small
+        # table can never overflow (capacity >= rows per device)
+        kw = dict(self.FKW, sku_rows=65536)
+        batch = g.synthetic_batch(g._demo_config(**kw), 64)
+        rng = np.random.default_rng(7)
+        for k in list(batch):
+            if "sku" in k and k.endswith("__ids"):
+                ids = rng.permutation(65536)[: batch[k].size]
+                batch[k] = (ids.reshape(batch[k].shape)
+                            * (batch[k] != 0)).astype(np.int32)
+        losses = {}
+        for mult in ("2.0", "0.01"):
+            os.environ["DMT_FMS_CAP_MULT"] = mult
+            try:
+                cfg = g._demo_config(mesh_data=2, mesh_model=4, **kw)
+                tr = Trainer(cfg, mesh=self._mesh(2, 4))
+                ts = tr.shard_state(tr.init_state())
+                step = tr._train_step()
+                b = tr.device_batch(g._as_batch(batch))
+                ts, _, loss = step(ts, task_metrics_init(), b,
+                                   jax.random.fold_in(jax.random.key(
+                                       0, impl="rbg"), 0))
+                losses[mult] = float(loss)
+                if mult == "0.01":
+                    assert int(ts["lazy_overflow"]) > 0
+                else:
+                    assert int(ts["lazy_overflow"]) == 0
+            finally:
+                os.environ.pop("DMT_FMS_CAP_MULT", None)
+        assert losses["2.0"] == pytest.approx(losses["0.01"], rel=1e-5)
