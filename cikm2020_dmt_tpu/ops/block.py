@@ -710,6 +710,25 @@ def fused_encode_decode(enc_params, dec_params, *, enc_in, dec_in, seq_mask,
     if Tp != Tk:
         enc_in = jnp.pad(enc_in, ((0, 0), (0, Tp - Tk), (0, 0)))
         km = jnp.pad(km, ((0, 0), (0, Tp - Tk)))
+    # The batch dim pads to a multiple of the 32-example kernel block:
+    # Mosaic requires 2-D operand blocks [nb, D] with nb % 8 == 0 (or
+    # nb == B), and serving batches (e.g. 300 rerank candidates) satisfy
+    # neither.  Padded examples carry a zero key mask (finite garbage
+    # out, same as absent-query rows) and are sliced off below; training
+    # batches are already multiples of 32, so the pad is a no-op there.
+    sharded = mesh is not None and mesh.devices.size > 1
+    if sharded:
+        from ..core.mesh import DATA_AXIS
+        mult = 32 * mesh.shape[DATA_AXIS]
+    else:
+        mult = 32
+    B0 = B
+    Bp = ((B + mult - 1) // mult) * mult
+    if Bp != B:
+        enc_in = jnp.pad(enc_in, ((0, Bp - B), (0, 0), (0, 0)))
+        dec_in = jnp.pad(dec_in, ((0, Bp - B), (0, 0)))
+        km = jnp.pad(km, ((0, Bp - B), (0, 0)))
+        B = Bp
     scale = 1.0 / math.sqrt(D // num_heads)
     ew = _pack_weights(enc_params)
     dw = _pack_weights(dec_params)
@@ -743,11 +762,13 @@ def fused_encode_decode(enc_params, dec_params, *, enc_in, dec_in, seq_mask,
         # gradients stay correct — the transpose of an in_specs=P()
         # broadcast is structurally a psum over the data axis (asserted
         # against the single-device path by test_shard_map_multichip).
-        return jax.shard_map(
+        out = jax.shard_map(
             local, mesh=mesh,
             in_specs=(P(), bspec, bspec, bspec, bspec) + (P(),) * 10,
             out_specs=bspec, check_vma=False,
         )(seed, enc_in, dec_in, kmr, kmc, *ew, *dw)
-    return _fused_block_op(num_heads, scale, float(dropout), do_train,
-                           interpret, seed, enc_in, dec_in, kmr, kmc,
-                           ew, dw)
+        return out[:B0] if B != B0 else out
+    out = _fused_block_op(num_heads, scale, float(dropout), do_train,
+                          interpret, seed, enc_in, dec_in, kmr, kmc,
+                          ew, dw)
+    return out[:B0] if B != B0 else out

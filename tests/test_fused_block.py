@@ -78,6 +78,22 @@ class TestFusedBlock:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
 
+    def test_serving_batch_300(self, rng):
+        """300-candidate rerank batch at flagship dims: B is not a
+        multiple of 8, which Mosaic rejects for the [nb, D] operand
+        blocks unless the wrapper pads the batch to the 32-example block
+        (caught live by bench_serve on TPU, round 3).  Values must match
+        the jnp path on the real rows."""
+        tc = _tc()
+        B, T, D = 300, 50, 80
+        lens = list(1 + (np.arange(B) * 7) % 50)
+        seq, tar, mask = _case(rng, B, T, D, lens)
+        params = transformer_init(jax.random.PRNGKey(5), tc)
+        want, got = _paths(params, tc, seq, mask, tar)
+        assert got.shape == (B, D)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
     def test_gradients_match(self, rng):
         """Recompute backward vs autodiff through the jnp path: grads wrt
         inputs AND every weight tensor."""
