@@ -31,7 +31,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 BATCH = 4096
 
 
-def bench_device_put(sizes_mb, reps=30):
+def bench_device_put(sizes_mb, reps=30, fit_max_mb=16.0):
+    """Per-size MEDIAN device_put latency + a robust linear fit.
+
+    The tunneled link is highly erratic above 16 MB (single reps of
+    331 ms vs 3.5 ms medians were observed), so the fit (a) uses the
+    per-rep median at each size, not the mean, and (b) excludes sizes
+    above ``fit_max_mb`` — OLS over x spanning 4 orders of magnitude is
+    otherwise dominated by one outlier rep at the largest size.  The
+    per-size medians are printed (and returned) alongside the fit so the
+    raw data survives the summary."""
     import jax
     dev = jax.devices()[0]
     rows = []
@@ -42,21 +51,26 @@ def bench_device_put(sizes_mb, reps=30):
         bufs = [np.full((n,), i, np.float32) for i in range(reps)]
         # warm one
         jax.block_until_ready(jax.device_put(bufs[0], dev))
-        t0 = time.perf_counter()
+        per_rep = []
         for b in bufs:
+            t0 = time.perf_counter()
             jax.block_until_ready(jax.device_put(b, dev))
-        dt = (time.perf_counter() - t0) / reps
+            per_rep.append(time.perf_counter() - t0)
+        dt = float(np.median(per_rep))
         rows.append((mb * 1e6, dt))
-        print(f"device_put {mb:8.3f} MB: {dt * 1e3:8.3f} ms  "
-              f"({mb / dt / 1e3:.1f} GB/s)")
-    # linear fit dt = setup + bytes / bw
-    xs = np.array([r[0] for r in rows])
-    ys = np.array([r[1] for r in rows])
+        print(f"device_put {mb:8.3f} MB: median {dt * 1e3:8.3f} ms  "
+              f"(p90 {np.percentile(per_rep, 90) * 1e3:8.3f} ms, "
+              f"{mb / dt / 1e3:.1f} GB/s)")
+    # linear fit dt = setup + bytes / bw over the well-behaved sizes
+    fit_rows = [r for r in rows if r[0] <= fit_max_mb * 1e6]
+    xs = np.array([r[0] for r in fit_rows])
+    ys = np.array([r[1] for r in fit_rows])
     slope, intercept = np.polyfit(xs, ys, 1)
     bw = 1.0 / slope if slope > 0 else float("inf")
-    print(f"fit: setup {intercept * 1e3:.3f} ms/transfer, "
+    print(f"fit (medians, sizes <= {fit_max_mb:g} MB): "
+          f"setup {intercept * 1e3:.3f} ms/transfer, "
           f"sustained {bw / 1e6:.1f} MB/s")
-    return intercept, bw
+    return intercept, bw, rows
 
 
 def main() -> None:
@@ -75,11 +89,14 @@ def main() -> None:
     print(f"backend: {jax.default_backend()}")
 
     # ---- 1. raw link characterization ------------------------------
-    setup_s, bw = bench_device_put([0.004, 0.25, 1.0, 4.0, 16.0, 64.0])
+    setup_s, bw, put_rows = bench_device_put(
+        [0.004, 0.25, 1.0, 4.0, 16.0, 64.0])
 
     # ---- 2/3/4. real pipeline terms --------------------------------
+    conf_path = os.path.join(os.path.dirname(__file__), "..",
+                             "conf", "dmt_demo.conf")
     demo = dataclasses.replace(
-        DMTConfig.from_ini("conf/dmt_demo.conf"), batch_size=BATCH,
+        DMTConfig.from_ini(conf_path), batch_size=BATCH,
         validate_step=10**9, compute_dtype="bfloat16")
     trainer = Trainer(demo)
 
@@ -98,17 +115,23 @@ def main() -> None:
     print(f"parse-only: {t_parse * 1e3:.1f} ms/batch "
           f"({BATCH / t_parse / 1e3:.1f}k ex/s)")
 
-    # transfer-only: packed device_batch of the SAME host batch, fresh
-    # numpy copies each rep so no buffer-donation aliasing
+    # transfer-only: packed device_batch on genuinely fresh host copies
+    # each rep (batch-level np.copy) so neither buffer-donation aliasing
+    # nor host-buffer reuse can short-circuit the put — packed mode's
+    # np.concatenate happens to make fresh buffers, but unpacked mode /
+    # odd as-is fields would otherwise re-put identical numpy arrays.
+    from cikm2020_dmt_tpu.data.pipeline import Batch
     b0 = trainer.device_batch(batch)
     jax.block_until_ready(jax.tree_util.tree_leaves(b0))
     n_xfer = 20
     host_bytes = sum(v.nbytes for v in batch.arrays.values())
     packed_bytes = sum(
         v.nbytes for k, v in b0.items() if hasattr(v, "nbytes"))
+    copies = [Batch(arrays={k: np.copy(v) for k, v in batch.arrays.items()})
+              for _ in range(n_xfer)]
     t0 = time.perf_counter()
-    for _ in range(n_xfer):
-        d = trainer.device_batch(batch)
+    for c in copies:
+        d = trainer.device_batch(c)
         jax.block_until_ready(jax.tree_util.tree_leaves(d))
     t_xfer = (time.perf_counter() - t0) / n_xfer
     n_bufs = len([k for k in b0 if k.startswith("__packed_")]) or len(b0)
