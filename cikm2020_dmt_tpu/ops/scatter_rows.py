@@ -381,21 +381,28 @@ def _sorted_segsum_kernel(seg_smem, seg_vmem, g_ref, zero_ref, out_hbm,
     g = g_ref[:]
     oh = (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
           == rel[None, :]).astype(g.dtype)                # oh[k, c]
-    # HIGHEST precision: the default MXU f32 dot rounds operands to bf16,
-    # measured max err/sum|g| 3.9e-3 on v5e (vs 2e-7 for XLA segment_sum,
-    # scripts/verify_segsum_mv_tpu.py) — gradient sums can't wear that
+    # f32 operands need HIGHEST precision: the default MXU f32 dot rounds
+    # operands to bf16, measured max err/sum|g| 3.9e-3 on v5e (vs 2e-7 for
+    # XLA segment_sum, scripts/verify_segsum_mv_tpu.py) — gradient sums
+    # can't wear that.  bf16 operands keep DEFAULT (the native single-pass
+    # bf16 MXU path): 0/1 one-hots are exact in bf16 and the dot
+    # accumulates the bf16 cotangent rows EXACTLY into f32 — better than
+    # any host-side f32 cast could do.
+    prec = (jax.lax.Precision.HIGHEST if g.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     local = jax.lax.dot_general(
         oh, g, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST).astype(loc_ref.dtype)
+        precision=prec).astype(loc_ref.dtype)
     loc_ref[slot] = local
 
     # trailing-run sum via masked VPU reduction (no dynamic sublane read).
     # Compare the [chunk, 1] int32 reshape against the scalar — Mosaic
     # rejects reshaping the i1 mask itself (minor-dim insertion is
-    # 32-bit-only on v5e)
+    # 32-bit-only on v5e).  dtype=f32 keeps bf16 inputs accumulating in
+    # f32 (carry/loc scratch are f32 regardless of the input dtype).
     tail = jnp.sum(jnp.where(rel[:, None] == last_rel, g, 0.0),
-                   axis=0).astype(carry_ref.dtype)        # [d]
+                   axis=0, dtype=jnp.float32).astype(carry_ref.dtype)  # [d]
     cont = cseg_ref[0] == s0
     # if the whole chunk is still the carried run, the old carry must also
     # roll forward (it is merged into loc row 0 below, which stays partial)
@@ -442,6 +449,11 @@ def sorted_segment_sum_rows(g_sorted: jnp.ndarray, seg: jnp.ndarray,
     output rows stream out as [chunk, D] block DMAs.  Cost scales as
     N*chunk*D MXU FLOPs + 2 passes of HBM bandwidth.
 
+    Accumulation (loc/carry scratch AND the output) is ALWAYS f32 — bf16
+    cotangents (bf16-table grids, the production default) sum exactly on
+    the bf16->f32 MXU path; the caller casts the [num_out, D] result back
+    if it needs the input dtype.
+
     Requires D % 128 == 0.  Slots never named by ``seg`` stay zero."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -466,7 +478,7 @@ def sorted_segment_sum_rows(g_sorted: jnp.ndarray, seg: jnp.ndarray,
     # output over-allocated by one chunk: the last block write spans
     # [s0_last, s0_last + chunk); zeros-alias pre-clears slots no chunk
     # covers (budget > unique runs)
-    zeros = jnp.zeros((num_out + chunk, d), g_sorted.dtype)
+    zeros = jnp.zeros((num_out + chunk, d), jnp.float32)
 
     kernel = functools.partial(_sorted_segsum_kernel, chunk=chunk,
                                nsteps=nsteps)
@@ -481,10 +493,10 @@ def sorted_segment_sum_rows(g_sorted: jnp.ndarray, seg: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((num_out + chunk, d), g_sorted.dtype),
+        out_shape=jax.ShapeDtypeStruct((num_out + chunk, d), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, d), g_sorted.dtype),
-            pltpu.VMEM((8, d), g_sorted.dtype),
+            pltpu.VMEM((2, chunk, d), jnp.float32),
+            pltpu.VMEM((8, d), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -675,7 +687,7 @@ def _dma_grid_gather_wanted(rows_ext: jnp.ndarray) -> bool:
     return (os.environ.get("DMT_DMA_GRID_GATHER", "0") == "1"
             and jax.default_backend() == "tpu"
             and rows_ext.shape[-1] % 128 == 0
-            and rows_ext.dtype == jnp.float32)  # f32-verified only
+            and rows_ext.dtype in (jnp.float32, jnp.bfloat16))
 
 
 @jax.custom_vjp
@@ -746,9 +758,13 @@ def _take_rows_sparse_sorted_bwd(res, g):
     pos, order, seg_sorted, num_slots = res
     d = g.shape[-1]
     gf = g.reshape(-1, d)
-    if _dma_bwd_wanted(d) and gf.dtype == jnp.float32:
+    if _dma_bwd_wanted(d) and gf.dtype in (jnp.float32, jnp.bfloat16):
+        # reorder the cotangent rows into id-sorted order, then stream
+        # contiguous runs; the kernel accumulates f32 and returns f32
+        # (exact for bf16 cotangents), rounded once to the grid dtype
         g_sorted = gather_rows(gf, order)
-        g_rows = sorted_segment_sum_rows(g_sorted, seg_sorted, num_slots)
+        g_rows = sorted_segment_sum_rows(
+            g_sorted, seg_sorted, num_slots).astype(gf.dtype)
     else:
         # bf16 grids accumulate in f32 (one rounding at the end)
         g_rows = jax.ops.segment_sum(

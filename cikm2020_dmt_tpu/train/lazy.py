@@ -404,33 +404,29 @@ def lazy_adam_rows(table: jnp.ndarray, mv: jnp.ndarray,
     mvu = jnp.take(mv, safe, axis=0, indices_are_sorted=True)
     p_new, mv_new = _adam_rows_math(rows, g_rows, mvu, lr, count,
                                     b1, b2, eps, table.dtype)
-    # Write-back: on TPU, a Pallas per-row HBM->HBM DMA kernel
-    # (ops/scatter_rows.update_rows, in-place via input_output_aliases).
-    # XLA's scatter is NOT intrinsically slow here — isolated, the same
-    # sorted-unique drop-mode scatter runs in ~40us — but inside the full
-    # step the memory-space-assignment pass stages the update rows in VMEM
-    # and the kCustom scatter emitter degrades to ~6.1 ms/step for the two
-    # write-backs (device trace, fusion.29/30; reproduced by none of:
-    # producer fusion, OOB sentinel tail, 16MB scoped-VMEM pressure —
+    # Write-back: on TPU, Pallas per-row HBM->HBM DMA kernels
+    # (ops/scatter_rows.update_rows, in-place via input_output_aliases)
+    # for BOTH the table rows and the lane-concat moments.  XLA's scatter
+    # is NOT intrinsically slow here — isolated, the same sorted-unique
+    # drop-mode scatter runs in ~40us — but inside the full step the
+    # memory-space-assignment pass stages the update rows in VMEM and the
+    # kCustom scatter emitter degrades to ~5-6 ms/step for the two
+    # write-backs (device traces r1-r3, fusion.29/30; reproduced by none
+    # of: producer fusion, OOB sentinel tail, 16MB scoped-VMEM pressure —
     # scripts/update_rows_bench.py).  The DMA kernel measures ~0.04 ms at
-    # the same U and is immune to MSA's operand placement.
-    # the DMA write-back kernel is f32-verified only; bf16 tables use the
-    # XLA scatter until the 16-bit row variant is validated on hardware
+    # the same U and is immune to MSA's operand placement.  The kernel is
+    # pure row DMA, dtype-agnostic: bf16 tables (production default since
+    # r3) and the 256-lane f32 moment rows are hardware-verified by
+    # scripts/verify_update_rows_tpu.py.  NOTE: the r3 ladder's "DMA
+    # opt-ins neutral" result was a dead-flag artifact — the old f32-only
+    # gate disabled this path entirely under bf16 tables, so the A/B
+    # measured noise.  DMT_DMA_WB=0 restores the XLA scatter pair.
+    import os
     if (jax.default_backend() == "tpu" and table.shape[1] % 128 == 0
-            and table.dtype == jnp.float32):
-        import os
-
+            and os.environ.get("DMT_DMA_WB", "0") == "1"):
         from ..ops.scatter_rows import update_rows
         table = update_rows(table, uids, p_new)
-        # the D=2*Dphys moment write-back kernel is opt-in until verified
-        # on hardware (the D=128 table kernel compiled + verified on-chip;
-        # 256-lane rows exercise a different Mosaic slice width)
-        if os.environ.get("DMT_DMA_MV", "0") == "1":
-            mv = update_rows(mv, uids, mv_new)
-        else:
-            mv = mv.at[uids].set(mv_new, mode="drop",
-                                 indices_are_sorted=True,
-                                 unique_indices=True)
+        mv = update_rows(mv, uids, mv_new)
         return table, mv
     # uids is strictly ascending + unique (sentinel tail de-duplicated in
     # collect), so the scatters can skip conflict serialization

@@ -51,22 +51,26 @@ class TestWriteRows:
 
     def test_update_rows_in_place(self, rng):
         """update_rows == .at[ids].set(rows, mode='drop') for unique sorted
-        ids incl. the lazy-Adam out-of-range sentinel tail (skipped)."""
+        ids incl. the lazy-Adam out-of-range sentinel tail (skipped), in
+        f32 AND bf16 (bf16 tables are the production default)."""
         from cikm2020_dmt_tpu.ops.scatter_rows import update_rows
-        for d in (128, 256):
-            R, U = 500, 90
-            table = rng.normal(size=(R, d)).astype(np.float32)
-            ids = np.sort(rng.choice(R, U, replace=False)).astype(np.int32)
-            # sentinel tail (skipped) + a negative id (dropped, like
-            # mode="drop")
-            ids = np.concatenate([np.array([-3], np.int32), ids,
-                                  R + np.arange(17, dtype=np.int32)])
-            rows = rng.normal(size=(len(ids), d)).astype(np.float32)
-            want = table.copy()
-            want[ids[1:U + 1]] = rows[1:U + 1]
-            got = update_rows(jnp.asarray(table), jnp.asarray(ids),
-                              jnp.asarray(rows), interpret=True)
-            np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+        for dt in (np.float32, jnp.bfloat16):
+            for d in (128, 256):
+                R, U = 500, 90
+                table = rng.normal(size=(R, d)).astype(dt)
+                ids = np.sort(rng.choice(R, U,
+                                         replace=False)).astype(np.int32)
+                # sentinel tail (skipped) + a negative id (dropped, like
+                # mode="drop")
+                ids = np.concatenate([np.array([-3], np.int32), ids,
+                                      R + np.arange(17, dtype=np.int32)])
+                rows = rng.normal(size=(len(ids), d)).astype(dt)
+                want = np.asarray(table).copy()
+                want[ids[1:U + 1]] = np.asarray(rows)[1:U + 1]
+                got = update_rows(jnp.asarray(table), jnp.asarray(ids),
+                                  jnp.asarray(rows), interpret=True)
+                assert got.dtype == table.dtype
+                np.testing.assert_array_equal(np.asarray(got), want)
 
     def test_gather_rows_matches_take(self, rng):
         """gather_rows == jnp.take(table, min(ids, R-1)) incl. the
@@ -191,6 +195,25 @@ class TestSortedSegsum:
         np.testing.assert_allclose(np.asarray(got),
                                    self._ref(g, seg, num_out),
                                    rtol=1e-4, atol=2e-4)
+
+    def test_bf16_input_accumulates_f32(self, rng):
+        """bf16 cotangent rows (bf16-table grids, the production default)
+        sum exactly in f32 inside the kernel; output is f32."""
+        from cikm2020_dmt_tpu.ops.scatter_rows import sorted_segment_sum_rows
+        n, d, chunk, runs = 1000, 128, 64, 40
+        cuts = np.sort(rng.choice(np.arange(1, n), runs - 1, replace=False))
+        seg = np.zeros(n, np.int32)
+        seg[list(cuts)] = 1
+        seg = np.cumsum(seg).astype(np.int32)
+        num_out = runs
+        g = rng.normal(size=(n, d)).astype(jnp.bfloat16)
+        got = sorted_segment_sum_rows(jnp.asarray(g), jnp.asarray(seg),
+                                      num_out, chunk=chunk, interpret=True)
+        assert got.dtype == jnp.float32
+        want = np.zeros((num_out, d), np.float32)
+        np.add.at(want, seg, np.asarray(g, np.float32))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                                   atol=1e-5)
 
     def test_sorted_vjp_matches_plain(self, rng):
         from cikm2020_dmt_tpu.ops.scatter_rows import (take_rows_sparse,
