@@ -167,8 +167,13 @@ def _update_rows_kernel(ids_ref, rows_hbm, table_hbm, out_hbm, *,
     ``.at[ids].set(rows, mode="drop")`` for unique ids.
 
     ids arrive via a (1, chunk) SMEM BlockSpec (Pallas pipelines the
-    fetch); rows/table stay in HBM (``ANY``) because Mosaic cannot slice
-    single sublanes out of tiled VMEM, while HBM row slices are free."""
+    fetch); rows/table are PINNED to HBM because Mosaic cannot slice
+    single sublanes out of tiled VMEM, while HBM row slices are free.
+    (``pl.ANY`` is not enough: the compiler places sub-threshold operands
+    in VMEM — the bf16-table write-back failed exactly this way on v5e,
+    "Slice shape along dimension 0 must be aligned to tiling (8)";
+    the r2-era f32 D=128 case only compiled because its 18.6 MB update
+    block exceeded the placement threshold.)"""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -251,15 +256,187 @@ def update_rows(table: jnp.ndarray, ids: jnp.ndarray, rows: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
         input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(ids, rows, table)
+
+
+def _adam_update_kernel(scal_ref, ids_ref, rows_ref, g_ref, mvu_ref,
+                        table_hbm, mv_hbm, out_t_hbm, out_mv_hbm,
+                        p_vmem, mv_vmem, p_hbm, mv_hbm_s, sem_s,
+                        sem_p, sem_m, *,
+                        chunk: int, num_rows: int, b1: float, b2: float,
+                        eps: float, nslots: int = 8):
+    """One chunk of the fused LazyAdam update: the [chunk, D] row math
+    runs on the VPU into VMEM scratch, stages through a chunk-sized HBM
+    scratch (Mosaic rejects single-row DMA out of tiled VMEM: "slice
+    shape along dimension 0 must be aligned to tiling (8)"), then per-row
+    HBM->HBM DMAs write BOTH the new param rows and the lane-concat
+    moment rows straight into the (aliased, in-place) tables.
+
+    Sentinel ids (>= num_rows; the lazy-Adam budget tail) skip their
+    DMAs, matching ``.at[ids].set(..., mode="drop")``.
+
+    All row DMAs issued by this chunk drain before the program ends
+    (scratch is reused next grid step), with an ``nslots``-deep in-flight
+    window per output."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lr = scal_ref[0]
+    d1 = scal_ref[1]          # 1 - b1^count  (division kept for exact
+    d2 = scal_ref[2]          # 1 - b2^count   _adam_rows_math parity)
+    d = rows_ref.shape[1]
+
+    rows = rows_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    mvu = mvu_ref[...]
+    mu, vu = mvu[:, :d], mvu[:, d:]
+    m_new = b1 * mu + (1.0 - b1) * g
+    v_new = b2 * vu + (1.0 - b2) * (g * g)
+    mhat = m_new / d1
+    vhat = v_new / d2
+    p_vmem[...] = (rows - lr * mhat / (jnp.sqrt(vhat) + eps)
+                   ).astype(p_vmem.dtype)
+    mv_vmem[:, :d] = m_new
+    mv_vmem[:, d:] = v_new
+
+    # stage the whole chunk VMEM -> HBM scratch (aligned block DMAs)
+    cp_p = pltpu.make_async_copy(p_vmem, p_hbm, sem_s.at[0])
+    cp_m = pltpu.make_async_copy(mv_vmem, mv_hbm_s, sem_s.at[1])
+    cp_p.start()
+    cp_m.start()
+    cp_p.wait()
+    cp_m.wait()
+
+    def issue(i, _):
+        rid = ids_ref[0, 0, i]
+
+        @pl.when(i >= nslots)
+        def _():
+            prev = ids_ref[0, 0, i - nslots]
+
+            @pl.when(prev < num_rows)
+            def _():
+                sl = i % nslots
+                pltpu.make_async_copy(p_hbm.at[pl.ds(i - nslots, 1), :],
+                                      out_t_hbm.at[pl.ds(prev, 1), :],
+                                      sem_p.at[sl]).wait()
+                pltpu.make_async_copy(mv_hbm_s.at[pl.ds(i - nslots, 1), :],
+                                      out_mv_hbm.at[pl.ds(prev, 1), :],
+                                      sem_m.at[sl]).wait()
+
+        @pl.when(rid < num_rows)
+        def _():
+            sl = i % nslots
+            pltpu.make_async_copy(p_hbm.at[pl.ds(i, 1), :],
+                                  out_t_hbm.at[pl.ds(rid, 1), :],
+                                  sem_p.at[sl]).start()
+            pltpu.make_async_copy(mv_hbm_s.at[pl.ds(i, 1), :],
+                                  out_mv_hbm.at[pl.ds(rid, 1), :],
+                                  sem_m.at[sl]).start()
+        return 0
+
+    jax.lax.fori_loop(0, chunk, issue, 0)
+
+    def drain(k, _):
+        i = chunk - nslots + k
+        rid = ids_ref[0, 0, i]
+
+        @pl.when(rid < num_rows)
+        def _():
+            sl = i % nslots
+            pltpu.make_async_copy(p_hbm.at[pl.ds(i, 1), :],
+                                  out_t_hbm.at[pl.ds(rid, 1), :],
+                                  sem_p.at[sl]).wait()
+            pltpu.make_async_copy(mv_hbm_s.at[pl.ds(i, 1), :],
+                                  out_mv_hbm.at[pl.ds(rid, 1), :],
+                                  sem_m.at[sl]).wait()
+        return 0
+
+    jax.lax.fori_loop(0, nslots, drain, 0)
+
+
+def adam_update_rows(table: jnp.ndarray, mv: jnp.ndarray,
+                     uids: jnp.ndarray, rows: jnp.ndarray,
+                     g_rows: jnp.ndarray, mvu: jnp.ndarray,
+                     lr: jnp.ndarray, count: jnp.ndarray,
+                     b1: float, b2: float, eps: float,
+                     interpret: bool = False):
+    """Fused LazyAdam row update: one Pallas kernel computes the Adam row
+    math (f32, exact ``train.lazy._adam_rows_math`` semantics incl. the
+    one rounding to the table dtype) and DMA-writes the touched param AND
+    moment rows in place (both aliased).  Returns (table, mv).
+
+    VERDICT r3 #2a design.  The originally-intended win (skip the
+    p_new/mv_new HBM staging entirely by DMAing rows straight out of
+    VMEM) is impossible on Mosaic — single-row slices of tiled VMEM are
+    rejected ("must be aligned to tiling (8)") — so the kernel stages
+    each chunk through HBM scratch: HBM traffic is byte-identical to the
+    two-stage path (XLA math + 2x update_rows) and the remaining edge is
+    one kernel launch and no XLA fusion scheduling between the stages.
+    Requires D % 128 == 0; works for bf16 or f32 tables; moments stay
+    f32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = rows.shape
+    num_rows = table.shape[0]
+    assert table.shape[1] == d and d % 128 == 0, (table.shape, rows.shape)
+    assert mv.shape[1] == 2 * d, (mv.shape, d)
+    c = count.astype(jnp.float32)
+    scal = jnp.stack([
+        lr.astype(jnp.float32).reshape(()),
+        1.0 - jnp.power(jnp.float32(b1), c),
+        1.0 - jnp.power(jnp.float32(b2), c)])
+    ids = jnp.where(uids < 0, jnp.int32(num_rows), uids.astype(jnp.int32))
+    chunk = 512
+    npad = ((n + chunk - 1) // chunk) * chunk
+    if npad != n:
+        ids = jnp.pad(ids, (0, npad - n), constant_values=num_rows)
+        rows = jnp.pad(rows, ((0, npad - n), (0, 0)))
+        g_rows = jnp.pad(g_rows, ((0, npad - n), (0, 0)))
+        mvu = jnp.pad(mvu, ((0, npad - n), (0, 0)))
+    ids = ids.reshape(npad // chunk, 1, chunk)
+
+    kernel = functools.partial(_adam_update_kernel, chunk=chunk,
+                               num_rows=num_rows, b1=b1, b2=b2, eps=eps)
+    return pl.pallas_call(
+        kernel,
+        grid=(npad // chunk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # scal [3]
+            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk, d), lambda i: (i, 0)),          # rows
+            pl.BlockSpec((chunk, d), lambda i: (i, 0)),          # g
+            pl.BlockSpec((chunk, 2 * d), lambda i: (i, 0)),      # mvu
+            pl.BlockSpec(memory_space=pltpu.HBM),                # table
+            pl.BlockSpec(memory_space=pltpu.HBM),                # mv
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_shape=[jax.ShapeDtypeStruct(table.shape, table.dtype),
+                   jax.ShapeDtypeStruct(mv.shape, mv.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((chunk, d), table.dtype),
+            pltpu.VMEM((chunk, 2 * d), mv.dtype),
+            pltpu.HBM((chunk, d), table.dtype),
+            pltpu.HBM((chunk, 2 * d), mv.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        input_output_aliases={5: 0, 6: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(scal, ids, rows, g_rows, mvu, table, mv)
 
 
 def _gather_rows_kernel(ids_ref, table_hbm, out_hbm, *,
@@ -339,9 +516,9 @@ def gather_rows(table: jnp.ndarray, ids: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct((npad, d), table.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -490,9 +667,9 @@ def sorted_segment_sum_rows(g_sorted: jnp.ndarray, seg: jnp.ndarray,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
             pl.BlockSpec((chunk, d), lambda i: (i, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct((num_out + chunk, d), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, chunk, d), jnp.float32),

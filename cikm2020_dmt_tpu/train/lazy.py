@@ -398,10 +398,19 @@ def lazy_adam_rows(table: jnp.ndarray, mv: jnp.ndarray,
     # update number (bias correction needs it 1-based): without the -1 the
     # lazy tables would cross piecewise-constant LR boundaries one step
     # before the dense params (and before tf.train.piecewise_constant)
+    import os
     lr = schedule(count - 1)
     d = table.shape[1]
     safe = jnp.minimum(uids, table.shape[0] - 1)
     mvu = jnp.take(mv, safe, axis=0, indices_are_sorted=True)
+    # Fully-fused variant (VERDICT r3 #2a): Adam math + both write-backs
+    # in ONE Pallas kernel — drops the p_new/mv_new HBM staging of the
+    # two-stage DMA path below.  Opt-in until its on-chip A/B lands.
+    if (jax.default_backend() == "tpu" and d % 128 == 0
+            and os.environ.get("DMT_DMA_FUSED", "0") == "1"):
+        from ..ops.scatter_rows import adam_update_rows
+        return adam_update_rows(table, mv, uids, rows, g_rows, mvu,
+                                lr, count, b1, b2, eps)
     p_new, mv_new = _adam_rows_math(rows, g_rows, mvu, lr, count,
                                     b1, b2, eps, table.dtype)
     # Write-back: on TPU, Pallas per-row HBM->HBM DMA kernels
@@ -421,7 +430,6 @@ def lazy_adam_rows(table: jnp.ndarray, mv: jnp.ndarray,
     # opt-ins neutral" result was a dead-flag artifact — the old f32-only
     # gate disabled this path entirely under bf16 tables, so the A/B
     # measured noise.  DMT_DMA_WB=0 restores the XLA scatter pair.
-    import os
     if (jax.default_backend() == "tpu" and table.shape[1] % 128 == 0
             and os.environ.get("DMT_DMA_WB", "0") == "1"):
         from ..ops.scatter_rows import update_rows

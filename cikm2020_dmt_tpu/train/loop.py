@@ -342,8 +342,17 @@ class Trainer:
         if not self.cfg.packed_transfer:
             return {k: jax.device_put(v, sh) for k, v in arrays.items()}
 
-        layout: dict[str, list] = {"f32": [], "i32": []}
-        bufs: dict[str, list] = {"f32": [], "i32": []}
+        # e2e A/B knobs (VERDICT r3 #3 — relay-serialization mitigations):
+        # DMT_PACK_ONEBUF=1 bitcasts the i32 fields to f32 bits and ships
+        # ONE buffer (fewest transfer RPCs); DMT_PACK_CHUNK_MB=N splits
+        # each packed buffer into <= N MB pieces (dodges the tunnel's
+        # erratic >16 MB per-buffer range, costs more RPCs).
+        import os
+        onebuf = os.environ.get("DMT_PACK_ONEBUF", "0") == "1"
+        chunk_mb = float(os.environ.get("DMT_PACK_CHUNK_MB", "0") or 0)
+
+        layout: dict[str, list] = {}
+        bufs: dict[str, list] = {}
         out: dict = {}
         b = None
         for k in sorted(arrays):
@@ -355,13 +364,31 @@ class Trainer:
                 continue
             b = v.shape[0]
             cols = 1 if v.ndim == 1 else v.shape[1]
-            off = sum(c for _, _, c, _ in layout[kind])
-            layout[kind].append((k, off, cols, v.ndim))
-            bufs[kind].append(v.reshape(b, cols))
-        for kind in ("f32", "i32"):
-            if bufs[kind]:
-                out["__packed_" + kind] = jax.device_put(
-                    np.concatenate(bufs[kind], axis=1), sh)
+            v2 = v.reshape(b, cols)
+            if onebuf and kind == "i32":
+                v2 = v2.view(np.float32)   # same width; bitcast back in-step
+                buf_kind = "f32"
+            else:
+                buf_kind = kind
+            fields = layout.setdefault(buf_kind, [])
+            off = sum(c for _, _, c, _ in fields)
+            # field tuple: (name, col offset, cols, ndim_or_bitcast_tag)
+            # ndim slot doubles as the bitcast marker: 1/2 plain, -1/-2
+            # bitcast-i32 (kept positional for layout-equality asserts)
+            tag = -v.ndim if (onebuf and kind == "i32") else v.ndim
+            fields.append((k, off, cols, tag))
+            bufs.setdefault(buf_kind, []).append(v2)
+        for kind, parts in bufs.items():
+            buf = np.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+            if chunk_mb > 0:
+                cols_per = max(1, int(chunk_mb * 1e6 / (buf.itemsize * b)))
+                nchunks = -(-buf.shape[1] // cols_per)
+                for j in range(nchunks):
+                    piece = buf[:, j * cols_per:(j + 1) * cols_per]
+                    out[f"__packed_{kind}@{j}:{cols_per}"] = jax.device_put(
+                        np.ascontiguousarray(piece), sh)
+            else:
+                out["__packed_" + kind] = jax.device_put(buf, sh)
         if self._pack_layout is None:
             self._pack_layout = layout
         else:
@@ -375,8 +402,19 @@ class Trainer:
                if not k.startswith("__packed_")}
         for kind, fields in layout.items():
             buf = batch.get("__packed_" + kind)
-            for k, off, cols, ndim in fields:
+            if buf is None:
+                # chunked pieces: reassemble (XLA fuses the concat into
+                # the downstream slices; no extra HBM pass materializes)
+                pieces = sorted(
+                    ((k2, v2) for k2, v2 in batch.items()
+                     if k2.startswith(f"__packed_{kind}@")),
+                    key=lambda kv: int(kv[0].split("@")[1].split(":")[0]))
+                buf = jnp.concatenate([v2 for _, v2 in pieces], axis=1)
+            for k, off, cols, tag in fields:
                 x = jax.lax.slice_in_dim(buf, off, off + cols, axis=1)
+                if tag < 0:   # bitcast-i32 field (DMT_PACK_ONEBUF)
+                    x = jax.lax.bitcast_convert_type(x, jnp.int32)
+                ndim = abs(tag)
                 out[k] = x[:, 0] if ndim == 1 else x
         return out
 
@@ -384,9 +422,31 @@ class Trainer:
                         depth: int = 2) -> Iterator[tuple[Batch, dict]]:
         """Keep ``depth`` batches in flight to the device so host->device
         transfer overlaps the previous step's compute (device_put is async;
-        consuming one step behind hides the copy latency)."""
+        consuming one step behind hides the copy latency).
+
+        DMT_XFER_THREAD=1 moves the device_put calls onto a dedicated
+        thread (A/B for the tunneled-relay serialization diagnosis: if
+        the relay blocks the CLIENT thread per transfer, this restores
+        overlap; if it serializes server-side, it changes nothing)."""
         import collections
-        queue: collections.deque = collections.deque()
+        import os
+        if os.environ.get("DMT_XFER_THREAD", "0") == "1":
+            from concurrent.futures import ThreadPoolExecutor
+            ex = ThreadPoolExecutor(max_workers=1)
+            try:
+                queue: collections.deque = collections.deque()
+                for batch in data_iter:
+                    queue.append((batch, ex.submit(self.device_batch, batch)))
+                    if len(queue) >= depth:
+                        b, fut = queue.popleft()
+                        yield b, fut.result()
+                while queue:
+                    b, fut = queue.popleft()
+                    yield b, fut.result()
+            finally:
+                ex.shutdown(wait=False)
+            return
+        queue = collections.deque()
         for batch in data_iter:
             queue.append((batch, self.device_batch(batch)))
             if len(queue) >= depth:

@@ -160,6 +160,52 @@ def main():
         ms = (time.perf_counter() - t0) / 50 * 1e3
         print(f"update {name} D={d}: update_rows {ms:.3f} ms", flush=True)
 
+    # --- fused Adam update (math + dual write-back in one kernel) ---
+    from cikm2020_dmt_tpu.ops.scatter_rows import adam_update_rows
+    from cikm2020_dmt_tpu.train.lazy import _adam_rows_math
+    for dt in (np.float32, jnp.bfloat16):
+        name = "f32" if dt == np.float32 else "bf16"
+        d = 128
+        nreal = int(U * 0.4)
+        ids = np.concatenate([
+            np.sort(rng.permutation(R)[:nreal]),
+            R + np.arange(U - nreal)]).astype(np.int32)
+        table = jnp.asarray(rng.normal(size=(R, d)).astype(dt))
+        mv = jnp.asarray(np.abs(rng.normal(size=(R, 2 * d))
+                                ).astype(np.float32))
+        rows = jnp.take(table, jnp.minimum(jnp.asarray(ids), R - 1), axis=0)
+        g = jnp.asarray(rng.normal(size=(U, d)).astype(np.float32))
+        mvu = jnp.take(mv, jnp.minimum(jnp.asarray(ids), R - 1), axis=0)
+        lr, count = jnp.float32(0.01), jnp.int32(7)
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        p_new, mv_new = jax.jit(lambda r, gg, m: _adam_rows_math(
+            r, gg, m, lr, count, b1, b2, eps, table.dtype))(rows, g, mvu)
+        want_t = np.asarray(table).copy()
+        want_t[ids[:nreal]] = np.asarray(p_new)[:nreal]
+        want_mv = np.asarray(mv).copy()
+        want_mv[ids[:nreal]] = np.asarray(mv_new)[:nreal]
+        try:
+            f = jax.jit(lambda t, m, i, r, gg, mm: adam_update_rows(
+                t, m, i, r, gg, mm, lr, count, b1, b2, eps),
+                donate_argnums=(0, 1))
+            got_t, got_mv = f(table, mv, jnp.asarray(ids), rows, g, mvu)
+            ok_t = np.allclose(np.asarray(got_t, np.float32),
+                               want_t.astype(np.float32), rtol=2e-6,
+                               atol=2e-6)
+            ok_mv = np.allclose(np.asarray(got_mv), want_mv, rtol=2e-6,
+                                atol=2e-6)
+            print(f"adam_fused {name}: table={ok_t} mv={ok_mv}", flush=True)
+            gt, gm = f(got_t, got_mv, jnp.asarray(ids), rows, g, mvu)
+            jax.block_until_ready((gt, gm))
+            t0 = time.perf_counter()
+            for _ in range(50):
+                gt, gm = f(gt, gm, jnp.asarray(ids), rows, g, mvu)
+            jax.block_until_ready((gt, gm))
+            ms = (time.perf_counter() - t0) / 50 * 1e3
+            print(f"adam_fused {name}: {ms:.3f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001 - report compile failure
+            print(f"adam_fused {name} FAILED: {e!r}"[:400], flush=True)
+
     # --- write_rows: VMEM-source single-row DMA (the fused-Adam kernel
     #     design needs this to compile on hardware; interpret-mode-only
     #     so far) ---

@@ -99,6 +99,45 @@ class TestWriteRows:
                                    atol=1e-4)
 
 
+class TestAdamUpdateRows:
+    @pytest.mark.parametrize("dt", [np.float32, jnp.bfloat16])
+    def test_matches_two_stage_math(self, rng, dt):
+        """Fused kernel (interpret) == _adam_rows_math + .at[].set for
+        sorted unique ids with a sentinel tail."""
+        from cikm2020_dmt_tpu.ops.scatter_rows import adam_update_rows
+        from cikm2020_dmt_tpu.train.lazy import _adam_rows_math
+        R, U, d = 400, 64, 128
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        table = jnp.asarray(rng.normal(size=(R, d)).astype(dt))
+        mv = jnp.asarray(np.abs(rng.normal(size=(R, 2 * d))
+                                ).astype(np.float32))
+        nreal = 40
+        ids = np.concatenate([
+            np.sort(rng.choice(R, nreal, replace=False)),
+            R + np.arange(U - nreal)]).astype(np.int32)
+        rows = jnp.take(table, jnp.minimum(jnp.asarray(ids), R - 1), axis=0)
+        g = jnp.asarray(rng.normal(size=(U, d)).astype(np.float32))
+        mvu = jnp.take(mv, jnp.minimum(jnp.asarray(ids), R - 1), axis=0)
+        lr, count = jnp.float32(0.01), jnp.int32(7)
+
+        p_new, mv_new = _adam_rows_math(rows, g, mvu, lr, count,
+                                        b1, b2, eps, table.dtype)
+        want_t = np.asarray(table).copy()
+        want_t[ids[:nreal]] = np.asarray(p_new)[:nreal]
+        want_mv = np.asarray(mv).copy()
+        want_mv[ids[:nreal]] = np.asarray(mv_new)[:nreal]
+
+        got_t, got_mv = adam_update_rows(
+            table, mv, jnp.asarray(ids), rows, g, mvu, lr, count,
+            b1, b2, eps, interpret=True)
+        assert got_t.dtype == table.dtype
+        np.testing.assert_allclose(np.asarray(got_t, np.float32),
+                                   want_t.astype(np.float32),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_mv), want_mv,
+                                   rtol=1e-6, atol=1e-6)
+
+
 class TestTiledScatter:
     def test_tiled_matches_at_add(self, rng):
         from cikm2020_dmt_tpu.ops.scatter_rows import tiled_scatter_add
