@@ -366,6 +366,14 @@ class DMTConfig:
     # lazy_adam: the dense optax path would lose small updates to bf16
     # `param += tiny` rounding.  0 disables.
     table_bf16_threshold: int = 1_000_000
+    # hybrid storage for the lazily-managed big tables: keep the TABLE
+    # f32 (so the write-back rides the per-row DMA kernel — Mosaic can
+    # only row-slice 32-bit 128-lane HBM memrefs) but round the gathered
+    # union rows to bf16 before they feed the [N, D] grid, which is
+    # where the step's HBM bytes actually are.  Only meaningful with
+    # compute_dtype=bfloat16 and table_bf16_threshold=0; A/B via
+    # DMT_GRID_BF16 (train/lazy.collect).
+    grid_bf16: bool = False
     mesh_data: int = 0   # 0 = auto: all devices not used by the model axis
     mesh_model: int = 1
     # host input pipeline: concurrent batch assemblers (the C++ parse

@@ -1,20 +1,30 @@
-"""Sorted-unique row scatter: the fast path for embedding-gradient
-accumulation on TPU.
+"""Row-granular HBM DMA kernels + scatter-free dedup gathers: the fast
+paths for embedding reads/writes on TPU.
 
 Device traces show XLA's scatter-add processes ~0.13us per update row
 regardless of table size, layout, sortedness or dtype — serialized
-read-modify-write.  For embedding gradients we can do better:
+read-modify-write; inside the full step the memory-space-assignment pass
+makes the in-place row scatter another ~5 ms pathology.  The kernels
+here replace those with per-row async HBM DMA (``update_rows``,
+``adam write-back``) and a streaming MXU segment-sum
+(``sorted_segment_sum_rows``); the custom-VJP gathers
+(``take_rows_sparse*``, ``take_onehot``, ``dedup_take*``) keep the
+GRADIENT side scatter-free by construction.
 
-    1. sort the (id, grad-row) pairs by id          (bitonic, ~2 ms)
-    2. segment-sum runs of equal ids                 (VPU)
-    3. the surviving rows are UNIQUE -> the scatter needs no read-modify-
-       write at all; a Pallas kernel streams the rows into a zero-filled
-       gradient table with pipelined async DMA
+Graveyard (round-4 prune of measured-dead paths, VERDICT r3 #5; see
+PARITY.md negative results): ``gather_rows`` per-row DMA read (11.7 ms
+vs 2.0 ms XLA take at the N=291k grid shape — DMA issue rate loses to
+XLA's pipelined gather), ``write_rows``/``scatter_add_rows`` (single-row
+DMA out of tiled VMEM is illegal on Mosaic — never compiled on hw),
+``tiled_scatter_add`` (no production user), and the HBM-staged fused
+Adam kernel ``adam_update_rows`` (byte-identical to XLA-math + two
+``update_rows`` once Mosaic forces the HBM staging hop; two-stage ships
+instead).
 
-``segment_rows`` implements 1+2 as pure jnp; ``write_rows`` is the Pallas
-kernel; ``scatter_add_rows`` composes them into a drop-in replacement for
-``zeros.at[ids].add(rows)``.  The table gains one trash row (index R) that
-absorbs the padding slots left by deduplication.
+Hardware law (v5e, Mosaic): single-ROW slices of HBM memrefs compile
+for 32-bit dtypes only — bf16 HBM memrefs carry (2,1) sublane packing
+("Slice shape along dimension 0 must be aligned to tiling (8)"), so
+16-bit tables DMA their rows through an int32 bitcast view.
 """
 
 from __future__ import annotations
@@ -23,139 +33,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-
-
-def segment_rows(ids: jnp.ndarray, rows: jnp.ndarray,
-                 num_rows: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Sort by id and sum duplicate runs.
-
-    Returns (ids_out [N], rows_out [N, D]) where each distinct id appears
-    exactly once (carrying the summed row) and the remaining slots hold the
-    sentinel id ``num_rows`` with zero rows.
-    """
-    n = ids.shape[0]
-    order = jnp.argsort(ids)
-    sids = ids[order]
-    srows = rows[order]
-    # run starts
-    first = jnp.concatenate([jnp.ones((1,), bool), sids[1:] != sids[:-1]])
-    seg = jnp.cumsum(first) - 1                      # run index per element
-    summed = jax.ops.segment_sum(srows, seg, num_segments=n)
-    # one representative per run at position seg_start; everything else
-    # becomes the sentinel
-    rep_ids = jnp.where(first, sids, num_rows)
-    # compact: scatter the summed run values back onto the first-of-run
-    # positions (positions are already unique)
-    out_rows = jnp.where(first[:, None], summed[seg], 0.0)
-    return rep_ids.astype(jnp.int32), out_rows.astype(rows.dtype)
-
-
-def _write_rows_kernel(ids_hbm, rows_hbm, table_hbm, out_hbm, *,
-                       chunk: int, n: int, dpad: int):
-    """Stream unique rows into the table: per grid step, DMA a chunk of ids
-    into SMEM and a chunk of rows into VMEM, then issue one row-write DMA
-    per id with a small in-flight window.
-
-    ids arrive pre-chunked [n_chunks, chunk] and rows [n_chunks, chunk, D]
-    so per-step fetches index whole leading rows (dynamic 1-D slicing of
-    VMEM refs is not supported by Mosaic)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    step = pl.program_id(0)  # read outside run_scoped (interpret-mode req)
-
-    def body(ids_smem, rows_vmem, sem_ids, sem_rows, sem_w):
-        # fetch this chunk's ids + rows
-        cp_i = pltpu.make_async_copy(ids_hbm.at[step], ids_smem, sem_ids)
-        cp_r = pltpu.make_async_copy(rows_hbm.at[step], rows_vmem, sem_rows)
-        cp_i.start()
-        cp_r.start()
-        cp_i.wait()
-        cp_r.wait()
-
-        nslots = 8
-
-        def issue(i, _):
-            row_id = ids_smem[i]
-            w = pltpu.make_async_copy(
-                rows_vmem.at[pl.ds(i, 1), :],
-                out_hbm.at[pl.ds(row_id, 1), :],
-                sem_w.at[i % nslots])
-            # bound the in-flight window: wait for the slot's previous DMA
-            @pl.when(i >= nslots)
-            def _():
-                pltpu.make_async_copy(
-                    rows_vmem.at[pl.ds(i - nslots, 1), :],
-                    out_hbm.at[pl.ds(ids_smem[i - nslots], 1), :],
-                    sem_w.at[i % nslots]).wait()
-            w.start()
-            return 0
-
-        jax.lax.fori_loop(0, chunk, issue, 0)
-        # drain
-        def drain(k, _):
-            i = chunk - nslots + k
-            @pl.when(i >= 0)
-            def _():
-                pltpu.make_async_copy(
-                    rows_vmem.at[pl.ds(i, 1), :],
-                    out_hbm.at[pl.ds(ids_smem[i], 1), :],
-                    sem_w.at[i % nslots]).wait()
-            return 0
-        jax.lax.fori_loop(0, nslots, drain, 0)
-
-    pl.run_scoped(
-        body,
-        ids_smem=pltpu.SMEM((chunk,), jnp.int32),
-        rows_vmem=pltpu.VMEM((chunk, dpad), rows_hbm.dtype),
-        sem_ids=pltpu.SemaphoreType.DMA(()),
-        sem_rows=pltpu.SemaphoreType.DMA(()),
-        sem_w=pltpu.SemaphoreType.DMA((8,)),
-    )
-
-
-def write_rows(ids: jnp.ndarray, rows: jnp.ndarray, num_rows: int,
-               interpret: bool = False) -> jnp.ndarray:
-    """[N] unique ids + [N, D] rows -> zero table [num_rows+1, D] with the
-    rows placed (sentinel id == num_rows lands in the trash row)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n, d = rows.shape
-    dpad = ((d + 127) // 128) * 128
-    if dpad != d:
-        rows = jnp.pad(rows, ((0, 0), (0, dpad - d)))
-    chunk = 512
-    npad = ((n + chunk - 1) // chunk) * chunk
-    if npad != n:
-        ids = jnp.pad(ids, (0, npad - n), constant_values=num_rows)
-        rows = jnp.pad(rows, ((0, npad - n), (0, 0)))
-    # pre-chunk for whole-leading-row DMA fetches inside the kernel
-    ids = ids.reshape(npad // chunk, chunk)
-    rows = rows.reshape(npad // chunk, chunk, dpad)
-
-    table = jnp.zeros((num_rows + 1, dpad), rows.dtype)
-    kernel = functools.partial(_write_rows_kernel, chunk=chunk, n=npad,
-                               dpad=dpad)
-
-    def outer(ids_ref, rows_ref, table_ref, out_ref):
-        kernel(ids_ref, rows_ref, table_ref, out_ref)
-
-    out = pl.pallas_call(
-        outer,
-        grid=(npad // chunk,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((num_rows + 1, dpad), rows.dtype),
-        input_output_aliases={2: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(ids, rows, table)
-    return out[:num_rows, :d]
 
 
 def _update_rows_kernel(ids_ref, rows_hbm, table_hbm, out_hbm, *,
@@ -228,13 +105,24 @@ def update_rows(table: jnp.ndarray, ids: jnp.ndarray, rows: jnp.ndarray,
     row-DMA kernel: the table stays in place (aliased in/out, donatable)
     and only the touched rows move — no full-table traffic, no scatter
     emitter.  Lane count must be a 128 multiple (the packed-table layout
-    guarantees it for the lazy-Adam write-back)."""
+    guarantees it for the lazy-Adam write-back).
+
+    HARDWARE LAW (measured r4, v5e Mosaic): compiles ONLY for 32-bit
+    dtypes at exactly 128 lanes.  16-bit HBM memrefs pack SUBLANE pairs
+    into 32-bit words ((2,1) tiling), so single rows are not sliceable
+    and no free int32 view exists (a jax-level bitcast is row-major
+    logical -> full-table relayout, measured 42 ms at Sku size); 256-lane
+    rows fail Mosaic's slice-width check outright.  bf16 tables
+    therefore keep the XLA scatter — or store f32 with a bf16 union grid
+    (cfg.grid_bf16), which keeps the bandwidth win where the bytes are
+    (the [N, D] grid) and regains this kernel for the write-back."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n, d = rows.shape
     num_rows = table.shape[0]
-    assert table.shape[1] == d and d % 128 == 0, (table.shape, rows.shape)
+    assert table.shape[1] == d and d == 128 \
+        and table.dtype.itemsize == 4, (table.shape, rows.shape)
     # mode="drop" parity: negative ids must be dropped too, not DMA'd to a
     # negative row offset — fold them into the >= num_rows skip guard
     ids = jnp.where(ids < 0, jnp.int32(num_rows), ids.astype(jnp.int32))
@@ -265,265 +153,6 @@ def update_rows(table: jnp.ndarray, ids: jnp.ndarray, rows: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(ids, rows, table)
-
-
-def _adam_update_kernel(scal_ref, ids_ref, rows_ref, g_ref, mvu_ref,
-                        table_hbm, mv_hbm, out_t_hbm, out_mv_hbm,
-                        p_vmem, mv_vmem, p_hbm, mv_hbm_s, sem_s,
-                        sem_p, sem_m, *,
-                        chunk: int, num_rows: int, b1: float, b2: float,
-                        eps: float, nslots: int = 8):
-    """One chunk of the fused LazyAdam update: the [chunk, D] row math
-    runs on the VPU into VMEM scratch, stages through a chunk-sized HBM
-    scratch (Mosaic rejects single-row DMA out of tiled VMEM: "slice
-    shape along dimension 0 must be aligned to tiling (8)"), then per-row
-    HBM->HBM DMAs write BOTH the new param rows and the lane-concat
-    moment rows straight into the (aliased, in-place) tables.
-
-    Sentinel ids (>= num_rows; the lazy-Adam budget tail) skip their
-    DMAs, matching ``.at[ids].set(..., mode="drop")``.
-
-    All row DMAs issued by this chunk drain before the program ends
-    (scratch is reused next grid step), with an ``nslots``-deep in-flight
-    window per output."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    lr = scal_ref[0]
-    d1 = scal_ref[1]          # 1 - b1^count  (division kept for exact
-    d2 = scal_ref[2]          # 1 - b2^count   _adam_rows_math parity)
-    d = rows_ref.shape[1]
-
-    rows = rows_ref[...].astype(jnp.float32)
-    g = g_ref[...].astype(jnp.float32)
-    mvu = mvu_ref[...]
-    mu, vu = mvu[:, :d], mvu[:, d:]
-    m_new = b1 * mu + (1.0 - b1) * g
-    v_new = b2 * vu + (1.0 - b2) * (g * g)
-    mhat = m_new / d1
-    vhat = v_new / d2
-    p_vmem[...] = (rows - lr * mhat / (jnp.sqrt(vhat) + eps)
-                   ).astype(p_vmem.dtype)
-    mv_vmem[:, :d] = m_new
-    mv_vmem[:, d:] = v_new
-
-    # stage the whole chunk VMEM -> HBM scratch (aligned block DMAs)
-    cp_p = pltpu.make_async_copy(p_vmem, p_hbm, sem_s.at[0])
-    cp_m = pltpu.make_async_copy(mv_vmem, mv_hbm_s, sem_s.at[1])
-    cp_p.start()
-    cp_m.start()
-    cp_p.wait()
-    cp_m.wait()
-
-    def issue(i, _):
-        rid = ids_ref[0, 0, i]
-
-        @pl.when(i >= nslots)
-        def _():
-            prev = ids_ref[0, 0, i - nslots]
-
-            @pl.when(prev < num_rows)
-            def _():
-                sl = i % nslots
-                pltpu.make_async_copy(p_hbm.at[pl.ds(i - nslots, 1), :],
-                                      out_t_hbm.at[pl.ds(prev, 1), :],
-                                      sem_p.at[sl]).wait()
-                pltpu.make_async_copy(mv_hbm_s.at[pl.ds(i - nslots, 1), :],
-                                      out_mv_hbm.at[pl.ds(prev, 1), :],
-                                      sem_m.at[sl]).wait()
-
-        @pl.when(rid < num_rows)
-        def _():
-            sl = i % nslots
-            pltpu.make_async_copy(p_hbm.at[pl.ds(i, 1), :],
-                                  out_t_hbm.at[pl.ds(rid, 1), :],
-                                  sem_p.at[sl]).start()
-            pltpu.make_async_copy(mv_hbm_s.at[pl.ds(i, 1), :],
-                                  out_mv_hbm.at[pl.ds(rid, 1), :],
-                                  sem_m.at[sl]).start()
-        return 0
-
-    jax.lax.fori_loop(0, chunk, issue, 0)
-
-    def drain(k, _):
-        i = chunk - nslots + k
-        rid = ids_ref[0, 0, i]
-
-        @pl.when(rid < num_rows)
-        def _():
-            sl = i % nslots
-            pltpu.make_async_copy(p_hbm.at[pl.ds(i, 1), :],
-                                  out_t_hbm.at[pl.ds(rid, 1), :],
-                                  sem_p.at[sl]).wait()
-            pltpu.make_async_copy(mv_hbm_s.at[pl.ds(i, 1), :],
-                                  out_mv_hbm.at[pl.ds(rid, 1), :],
-                                  sem_m.at[sl]).wait()
-        return 0
-
-    jax.lax.fori_loop(0, nslots, drain, 0)
-
-
-def adam_update_rows(table: jnp.ndarray, mv: jnp.ndarray,
-                     uids: jnp.ndarray, rows: jnp.ndarray,
-                     g_rows: jnp.ndarray, mvu: jnp.ndarray,
-                     lr: jnp.ndarray, count: jnp.ndarray,
-                     b1: float, b2: float, eps: float,
-                     interpret: bool = False):
-    """Fused LazyAdam row update: one Pallas kernel computes the Adam row
-    math (f32, exact ``train.lazy._adam_rows_math`` semantics incl. the
-    one rounding to the table dtype) and DMA-writes the touched param AND
-    moment rows in place (both aliased).  Returns (table, mv).
-
-    VERDICT r3 #2a design.  The originally-intended win (skip the
-    p_new/mv_new HBM staging entirely by DMAing rows straight out of
-    VMEM) is impossible on Mosaic — single-row slices of tiled VMEM are
-    rejected ("must be aligned to tiling (8)") — so the kernel stages
-    each chunk through HBM scratch: HBM traffic is byte-identical to the
-    two-stage path (XLA math + 2x update_rows) and the remaining edge is
-    one kernel launch and no XLA fusion scheduling between the stages.
-    Requires D % 128 == 0; works for bf16 or f32 tables; moments stay
-    f32."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n, d = rows.shape
-    num_rows = table.shape[0]
-    assert table.shape[1] == d and d % 128 == 0, (table.shape, rows.shape)
-    assert mv.shape[1] == 2 * d, (mv.shape, d)
-    c = count.astype(jnp.float32)
-    scal = jnp.stack([
-        lr.astype(jnp.float32).reshape(()),
-        1.0 - jnp.power(jnp.float32(b1), c),
-        1.0 - jnp.power(jnp.float32(b2), c)])
-    ids = jnp.where(uids < 0, jnp.int32(num_rows), uids.astype(jnp.int32))
-    chunk = 512
-    npad = ((n + chunk - 1) // chunk) * chunk
-    if npad != n:
-        ids = jnp.pad(ids, (0, npad - n), constant_values=num_rows)
-        rows = jnp.pad(rows, ((0, npad - n), (0, 0)))
-        g_rows = jnp.pad(g_rows, ((0, npad - n), (0, 0)))
-        mvu = jnp.pad(mvu, ((0, npad - n), (0, 0)))
-    ids = ids.reshape(npad // chunk, 1, chunk)
-
-    kernel = functools.partial(_adam_update_kernel, chunk=chunk,
-                               num_rows=num_rows, b1=b1, b2=b2, eps=eps)
-    return pl.pallas_call(
-        kernel,
-        grid=(npad // chunk,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),               # scal [3]
-            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((chunk, d), lambda i: (i, 0)),          # rows
-            pl.BlockSpec((chunk, d), lambda i: (i, 0)),          # g
-            pl.BlockSpec((chunk, 2 * d), lambda i: (i, 0)),      # mvu
-            pl.BlockSpec(memory_space=pltpu.HBM),                # table
-            pl.BlockSpec(memory_space=pltpu.HBM),                # mv
-        ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
-                   pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_shape=[jax.ShapeDtypeStruct(table.shape, table.dtype),
-                   jax.ShapeDtypeStruct(mv.shape, mv.dtype)],
-        scratch_shapes=[
-            pltpu.VMEM((chunk, d), table.dtype),
-            pltpu.VMEM((chunk, 2 * d), mv.dtype),
-            pltpu.HBM((chunk, d), table.dtype),
-            pltpu.HBM((chunk, 2 * d), mv.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((8,)),
-            pltpu.SemaphoreType.DMA((8,)),
-        ],
-        input_output_aliases={5: 0, 6: 1},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(scal, ids, rows, g_rows, mvu, table, mv)
-
-
-def _gather_rows_kernel(ids_ref, table_hbm, out_hbm, *,
-                        chunk: int, num_rows: int, nslots: int = 8):
-    """Per id, one HBM->HBM row DMA table[min(id, R-1)] -> out[i]: the
-    read twin of ``_update_rows_kernel`` (same SMEM id block + bounded
-    in-flight DMA window).  Clamp mirrors the collect path's
-    ``jnp.minimum(uids, rphys - 1)`` (train/lazy.py) so sentinel slots
-    read the last row instead of faulting."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    step = pl.program_id(0)
-
-    def clamped(i):
-        rid = ids_ref[0, 0, i]
-        return jnp.minimum(rid, num_rows - 1)
-
-    def body(sem_w):
-        def issue(i, _):
-            @pl.when(i >= nslots)
-            def _():
-                pltpu.make_async_copy(
-                    table_hbm.at[clamped(i - nslots)],
-                    out_hbm.at[step * chunk + i - nslots],
-                    sem_w.at[i % nslots]).wait()
-
-            pltpu.make_async_copy(
-                table_hbm.at[clamped(i)],
-                out_hbm.at[step * chunk + i],
-                sem_w.at[i % nslots]).start()
-            return 0
-
-        jax.lax.fori_loop(0, chunk, issue, 0)
-
-        def drain(k, _):
-            i = chunk - nslots + k
-            pltpu.make_async_copy(
-                table_hbm.at[clamped(i)],
-                out_hbm.at[step * chunk + i],
-                sem_w.at[i % nslots]).wait()
-            return 0
-
-        jax.lax.fori_loop(0, nslots, drain, 0)
-
-    pl.run_scoped(body, sem_w=pltpu.SemaphoreType.DMA((nslots,)))
-
-
-def gather_rows(table: jnp.ndarray, ids: jnp.ndarray,
-                interpret: bool = False) -> jnp.ndarray:
-    """``jnp.take(table, jnp.minimum(ids, R-1), axis=0)`` as a Pallas
-    per-row DMA kernel (read twin of ``update_rows``): only the touched
-    rows move, immune to the memory-space-assignment staging that slows
-    XLA's gather/scatter inside the full train step.  Lane count must be
-    a 128 multiple."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n = ids.shape[0]
-    num_rows, d = table.shape
-    assert d % 128 == 0, table.shape
-    # mode="clip" parity on BOTH sides: the kernel clamps high ids; clamp
-    # negatives here so they read row 0 instead of out-of-bounds HBM
-    ids = jnp.maximum(ids.astype(jnp.int32), 0)
-    chunk = 512
-    npad = ((n + chunk - 1) // chunk) * chunk
-    if npad != n:
-        ids = jnp.pad(ids, (0, npad - n))
-    ids = ids.reshape(npad // chunk, 1, chunk)
-
-    kernel = functools.partial(_gather_rows_kernel, chunk=chunk,
-                               num_rows=num_rows)
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(npad // chunk,),
-        in_specs=[
-            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        out_shape=jax.ShapeDtypeStruct((npad, d), table.dtype),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(ids, table)
-    return out[:n]
 
 
 def _sorted_segsum_kernel(seg_smem, seg_vmem, g_ref, zero_ref, out_hbm,
@@ -684,97 +313,6 @@ def sorted_segment_sum_rows(g_sorted: jnp.ndarray, seg: jnp.ndarray,
     return out[:num_out]
 
 
-def scatter_add_rows(ids: jnp.ndarray, rows: jnp.ndarray, num_rows: int,
-                     interpret: bool = False) -> jnp.ndarray:
-    """Drop-in for ``jnp.zeros((num_rows, D)).at[ids].add(rows)`` built from
-    sort + segment-sum + unique-row writes."""
-    uids, urows = segment_rows(ids.reshape(-1),
-                               rows.reshape(-1, rows.shape[-1]), num_rows)
-    return write_rows(uids, urows, num_rows, interpret=interpret)
-
-
-# ---------------------------------------------------------------------------
-# VMEM-tiled one-hot scatter (BlockSpec-only — compiles where the DMA kernel
-# cannot): sorted updates -> per-table-tile MXU one-hot matmul accumulate.
-# ---------------------------------------------------------------------------
-
-
-def _tiled_scatter_kernel(starts_ref, ids0_ref, ids1_ref, r0_ref, r1_ref,
-                          out_ref, *, tile: int, wblk: int):
-    """Tile t accumulates the sorted updates that land in its row range via
-    onehot^T @ rows on the MXU.
-
-    ids/rows arrive as two consecutive wblk-sized windows chosen by the
-    prefetched per-tile start offset; updates outside the tile's row range
-    (or belonging to neighbor tiles) zero out in the one-hot."""
-    from jax.experimental import pallas as pl
-
-    tidx = pl.program_id(0)
-    lo = tidx * tile
-    ids = jnp.concatenate([ids0_ref[:, 0], ids1_ref[:, 0]])      # [2*wblk]
-    rows = jnp.concatenate([r0_ref[:], r1_ref[:]], axis=0)       # [2*wblk, D]
-    rel = ids - lo                                               # [2*wblk]
-    rcol = jax.lax.broadcasted_iota(jnp.int32, (2 * wblk, tile), 1)
-    oh = (rel[:, None] == rcol).astype(rows.dtype)               # [2W, tile]
-    acc = jax.lax.dot_general(
-        oh, rows, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                      # [tile, D]
-    out_ref[:] = acc.astype(out_ref.dtype)
-
-
-def tiled_scatter_add(ids_sorted: jnp.ndarray, rows_sorted: jnp.ndarray,
-                      num_rows: int, tile: int = 512, wblk: int = 1024,
-                      interpret: bool = False) -> jnp.ndarray:
-    """Dense scatter-add of SORTED updates via per-tile one-hot matmuls.
-
-    Precondition: per-tile update count <= wblk (checked by the caller via
-    ``jnp.diff(starts)``; fall back to .at[].add otherwise).  Returns
-    [num_rows_padded, D] where num_rows_padded = ceil(num_rows/tile)*tile;
-    caller slices.
-    """
-    import functools as _ft
-
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n, d = rows_sorted.shape
-    n_tiles = (num_rows + tile - 1) // tile
-    rpad = n_tiles * tile
-    # pad updates so every window read is in bounds
-    npad = ((n + wblk - 1) // wblk + 1) * wblk
-    ids_p = jnp.pad(ids_sorted, (0, npad - n),
-                    constant_values=jnp.int32(rpad + 1))
-    rows_p = jnp.pad(rows_sorted, ((0, npad - n), (0, 0)))
-    ids2d = ids_p.reshape(-1, 1)
-
-    # per-tile start offset into the sorted stream, in wblk block units.
-    # searchsorted is safe here: n_tiles (~R/256) queries, not per-element
-    # — the repo ban (train/lazy.py:12) is on [N]-query searchsorted.
-    starts = jnp.searchsorted(ids_p, jnp.arange(n_tiles, dtype=jnp.int32)
-                              * tile).astype(jnp.int32)
-    blk0 = jnp.minimum(starts // wblk, npad // wblk - 2)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((wblk, 1), lambda i, b: (b[i], 0)),
-            pl.BlockSpec((wblk, 1), lambda i, b: (b[i] + 1, 0)),
-            pl.BlockSpec((wblk, d), lambda i, b: (b[i], 0)),
-            pl.BlockSpec((wblk, d), lambda i, b: (b[i] + 1, 0)),
-        ],
-        out_specs=pl.BlockSpec((tile, d), lambda i, b: (i, 0)),
-    )
-    kernel = _ft.partial(_tiled_scatter_kernel, tile=tile, wblk=wblk)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rpad, d), rows_sorted.dtype),
-        interpret=interpret,
-    )(blk0, ids2d, ids2d, rows_p, rows_p)
-    return out
-
-
 # ---------------------------------------------------------------------------
 # Dedup-gradient gather: custom VJP whose backward sorts + segment-sums the
 # cotangent rows so the (serialized, 0.13us/row) scatter only touches the
@@ -859,14 +397,6 @@ def _gather_dedup_bwd(num_unique, res, g):
 gather_dedup.defvjp(_gather_dedup_fwd, _gather_dedup_bwd)
 
 
-def _dma_grid_gather_wanted(rows_ext: jnp.ndarray) -> bool:
-    import os
-    return (os.environ.get("DMT_DMA_GRID_GATHER", "0") == "1"
-            and jax.default_backend() == "tpu"
-            and rows_ext.shape[-1] % 128 == 0
-            and rows_ext.dtype in (jnp.float32, jnp.bfloat16))
-
-
 @jax.custom_vjp
 def take_rows_sparse(rows_ext: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     """``rows_ext[pos]`` whose backward is ONE segment-sum into the
@@ -876,12 +406,9 @@ def take_rows_sparse(rows_ext: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     every union element to its unique-row slot, so the cotangent
     accumulator is budget-sized (fits VMEM for the default budget) rather
     than table-sized, and out-of-range slots are impossible by
-    construction.  The forward is a plain row gather; on TPU,
-    DMT_DMA_GRID_GATHER=1 swaps in the per-row DMA kernel (gather_rows),
-    which is immune to the memory-space-assignment staging that slows
-    XLA's in-step gather."""
-    if pos.ndim == 1 and _dma_grid_gather_wanted(rows_ext):
-        return gather_rows(rows_ext, pos)
+    construction.  The forward is a plain XLA row gather (the per-row DMA
+    kernel variant measured 5.8x SLOWER at the N=291k grid shape —
+    pruned, see module docstring)."""
     return jnp.take(rows_ext, pos, axis=0, mode="clip")
 
 
@@ -918,10 +445,11 @@ def take_rows_sparse_sorted(rows_ext: jnp.ndarray, pos: jnp.ndarray,
     per SORTED element (capped at num_slots-1 for budget overflow), with
     pos[order[r]] == seg_sorted[r].
 
-    Backward on TPU (DMT_DMA_BWD=1): reorder the cotangent rows with the
-    per-row DMA gather, then reduce contiguous runs with the streaming
-    sorted_segment_sum_rows kernel — replaces XLA's serialized
-    segment_sum scatter-add (~4.2 ms -> ~bandwidth-bound).  Elsewhere the
+    Backward on TPU (DMT_DMA_BWD=1): reorder the cotangent rows with an
+    XLA take over ``order`` (standalone: 2.0 ms; the per-row DMA gather
+    lost 5.8x and was pruned), then reduce contiguous runs with the
+    streaming sorted_segment_sum_rows kernel (2.2 ms vs XLA segment_sum's
+    5.5 ms standalone at the N=291k lazy-backward shape).  Elsewhere the
     plain segment_sum backward runs."""
     return take_rows_sparse(rows_ext, pos)
 
@@ -939,7 +467,7 @@ def _take_rows_sparse_sorted_bwd(res, g):
         # reorder the cotangent rows into id-sorted order, then stream
         # contiguous runs; the kernel accumulates f32 and returns f32
         # (exact for bf16 cotangents), rounded once to the grid dtype
-        g_sorted = gather_rows(gf, order)
+        g_sorted = jnp.take(gf, order, axis=0)
         g_rows = sorted_segment_sum_rows(
             g_sorted, seg_sorted, num_slots).astype(gf.dtype)
     else:

@@ -194,8 +194,19 @@ def collect_fms(spec, batch: dict, table: jnp.ndarray, mesh: Mesh,
         phys = flat // p if p > 1 else flat
         phys = jnp.clip(phys, 0, rphys - 1)
         uids, pos, order, seg, overflow = _dedup_sorted(phys, U, rphys)
-        bucketed, bslot, counts, cap_drop = _owner_layout(
-            uids, U, C, n_dev, rows_per_dev, rphys)
+        sliced = m_sz > 1 and U % m_sz == 0
+        if sliced:
+            mrank = jax.lax.axis_index(MODEL_AXIS)
+            Um = U // m_sz
+            Cm = capacity(Um, n_dev)
+            # slice (q, j) of reshape(U//m, m) == uids[q*m + j]
+            uids_j = jax.lax.dynamic_index_in_dim(
+                uids.reshape(Um, m_sz), mrank, axis=1, keepdims=False)
+            bktj, bslotj, _, cap_drop = _owner_layout(
+                uids_j, Um, Cm, n_dev, rows_per_dev, rphys)
+        else:
+            bucketed, bslot, counts, cap_drop = _owner_layout(
+                uids, U, C, n_dev, rows_per_dev, rphys)
         me = (jax.lax.axis_index(DATA_AXIS) * m_sz
               + jax.lax.axis_index(MODEL_AXIS))
         my_lo = me * rows_per_dev
@@ -203,6 +214,37 @@ def collect_fms(spec, batch: dict, table: jnp.ndarray, mesh: Mesh,
         nbad = jax.lax.psum(jnp.minimum(bad, 1), AXES)
 
         def fast(_):
+            # Model-peer request sharding: every model peer of a data
+            # shard holds IDENTICAL uids (the batch is P(data)-sharded),
+            # so a naive exchange ships each data row's requests and
+            # responses m_sz times over the wire.  Instead peer j
+            # requests only the strided slice uids[j::m_sz] (strided
+            # keeps each slice's owner distribution uniform — a
+            # contiguous slice would concentrate on few owners and blow
+            # the bucket capacity) with m_sz-fold smaller buffers, and
+            # the [U, Dp] row grid reassembles with ONE model-axis psum
+            # (ICI).  DCN-crossing request/response all_to_all bytes
+            # drop ~m_sz-fold (4x at the production 2d m=4 mesh); on a
+            # single-host ICI mesh the a2a-vs-psum trade is neutral.
+            if sliced:
+                req = jax.lax.all_to_all(
+                    bktj.reshape(n_dev, Cm), AXES, 0, 0, tiled=True)
+                rel = req.reshape(-1) - my_lo
+                inb = (rel >= 0) & (rel < rows_per_dev)
+                rows = jnp.take(tshard, jnp.where(inb, rel, 0), axis=0,
+                                mode="clip")
+                rows = jnp.where(inb[:, None], rows, 0)
+                resp = jax.lax.all_to_all(
+                    rows.reshape(n_dev, Cm, -1), AXES, 0, 0, tiled=True)
+                resp_flat = jnp.concatenate(
+                    [resp.reshape(n_dev * Cm, -1),
+                     jnp.zeros((1, tshard.shape[1]), tshard.dtype)])
+                rows_j = jnp.take(resp_flat, jnp.minimum(bslotj, n_dev * Cm),
+                                  axis=0)                     # [U/m, Dp]
+                grid3 = jax.lax.dynamic_update_slice_in_dim(
+                    jnp.zeros((Um, m_sz, tshard.shape[1]), tshard.dtype),
+                    rows_j[:, None, :], mrank, axis=1)
+                return jax.lax.psum(grid3, MODEL_AXIS).reshape(U, -1)
             req = jax.lax.all_to_all(
                 bucketed.reshape(n_dev, C), AXES, 0, 0, tiled=True)
             rel = req.reshape(-1) - my_lo
@@ -280,9 +322,12 @@ def fms_adam_update(mesh: Mesh, table: jnp.ndarray, mv: jnp.ndarray,
     data shards get ONE Adam step on the summed gradient — identical to
     the global-union semantics (train/lazy.lazy_adam_rows).
 
-    Only model-rank-0 devices emit gradients (every model peer holds an
-    identical replica of its data row's grads); capacity-dropped rows
-    skip their gradient for the step (counted upstream in collect)."""
+    Model peers hold identical replicas of their data row's grads, so
+    (like the collect-side request sharding) peer j pushes only the
+    strided slice uids[j::m_sz] with m_sz-fold smaller buffers — the
+    DCN-crossing push bytes are paid once per data row, spread evenly
+    over the host's NICs.  Capacity-dropped rows skip their gradient for
+    the step (counted upstream in collect)."""
     from ..train.lazy import _adam_rows_math
 
     d_sz = mesh.shape[DATA_AXIS]
@@ -291,7 +336,9 @@ def fms_adam_update(mesh: Mesh, table: jnp.ndarray, mv: jnp.ndarray,
     rphys = table.shape[0]
     rows_per_dev = rphys // n_dev
     U = uids.shape[0] // d_sz
-    C = capacity(U, n_dev)
+    sliced = m_sz > 1 and U % m_sz == 0
+    Um = U // m_sz if sliced else U
+    C = capacity(Um, n_dev)
     NC = n_dev * C
     lr = schedule(count - 1)
 
@@ -299,23 +346,32 @@ def fms_adam_update(mesh: Mesh, table: jnp.ndarray, mv: jnp.ndarray,
         me = (jax.lax.axis_index(DATA_AXIS) * m_sz
               + jax.lax.axis_index(MODEL_AXIS))
         my_lo = me * rows_per_dev
+        if sliced:
+            mrank = jax.lax.axis_index(MODEL_AXIS)
+            uids_s = jax.lax.dynamic_index_in_dim(
+                uids_l.reshape(Um, m_sz), mrank, axis=1, keepdims=False)
+            g_s = jax.lax.dynamic_index_in_dim(
+                g_l.reshape(Um, m_sz, -1), mrank, axis=1, keepdims=False)
+            dup = jnp.bool_(False)
+        else:
+            uids_s, g_s = uids_l, g_l
+            # one grad copy per data row: model peers > 0 send no-requests
+            dup = jax.lax.axis_index(MODEL_AXIS) > 0
         bucketed, bslot, counts, _ = _owner_layout(
-            uids_l, U, C, n_dev, rows_per_dev, rphys)
-        # one grad copy per data row: model peers > 0 send no-requests
-        dup = jax.lax.axis_index(MODEL_AXIS) > 0
+            uids_s, Um, C, n_dev, rows_per_dev, rphys)
         bucketed = jnp.where(dup, jnp.int32(rphys), bucketed)
         # bucket slot (o, r) holds unique index bounds[o] + r (the
         # _owner_layout construction), so its grad row is
-        # g_l[bounds[o] + r] — direct arithmetic, no per-element search
+        # g_s[bounds[o] + r] — direct arithmetic, no per-element search
         bounds = jnp.searchsorted(
-            uids_l, (jnp.arange(n_dev + 1, dtype=jnp.int32)
+            uids_s, (jnp.arange(n_dev + 1, dtype=jnp.int32)
                      * rows_per_dev)).astype(jnp.int32)
         j = jnp.arange(NC, dtype=jnp.int32)
         o = j // C
         r = j - o * C
-        src = jnp.minimum(bounds[o] + r, U - 1)
+        src = jnp.minimum(bounds[o] + r, Um - 1)
         valid = (r < jnp.minimum(counts[o], C)) & ~dup
-        g_send = jnp.where(valid[:, None], jnp.take(g_l, src, axis=0), 0)
+        g_send = jnp.where(valid[:, None], jnp.take(g_s, src, axis=0), 0)
 
         req_ids = jax.lax.all_to_all(
             bucketed.reshape(n_dev, C), AXES, 0, 0, tiled=True).reshape(-1)

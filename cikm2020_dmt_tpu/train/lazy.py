@@ -280,7 +280,9 @@ def make_overlay(spec: LazyTableSpec, col: LazyCollection,
             else:
                 fb = jnp.take(jax.lax.stop_gradient(table), col.phys,
                               axis=0)
-            return jnp.where(miss, fb, g)
+            # grid_bf16: f32 tables + bf16 grid — keep the grid dtype
+            # (promotion would silently upcast the whole [N, Dp] grid)
+            return jnp.where(miss, fb.astype(g.dtype), g)
 
         grid = jax.lax.cond(col.overflow > 0, _exact, lambda g: g, grid)
     return LazyOverlay(grid, col.offsets, spec.pack, spec.dim)
@@ -403,38 +405,35 @@ def lazy_adam_rows(table: jnp.ndarray, mv: jnp.ndarray,
     d = table.shape[1]
     safe = jnp.minimum(uids, table.shape[0] - 1)
     mvu = jnp.take(mv, safe, axis=0, indices_are_sorted=True)
-    # Fully-fused variant (VERDICT r3 #2a): Adam math + both write-backs
-    # in ONE Pallas kernel — drops the p_new/mv_new HBM staging of the
-    # two-stage DMA path below.  Opt-in until its on-chip A/B lands.
-    if (jax.default_backend() == "tpu" and d % 128 == 0
-            and os.environ.get("DMT_DMA_FUSED", "0") == "1"):
-        from ..ops.scatter_rows import adam_update_rows
-        return adam_update_rows(table, mv, uids, rows, g_rows, mvu,
-                                lr, count, b1, b2, eps)
+    # (A fully-fused math+write-back kernel — VERDICT r3 #2a — was built
+    # and interpret-verified, but Mosaic rejects row DMA out of tiled
+    # VMEM, and once the chunk stages through HBM scratch the kernel is
+    # byte-identical to this two-stage path; pruned, see
+    # ops/scatter_rows.py graveyard note.)
     p_new, mv_new = _adam_rows_math(rows, g_rows, mvu, lr, count,
                                     b1, b2, eps, table.dtype)
-    # Write-back: on TPU, Pallas per-row HBM->HBM DMA kernels
-    # (ops/scatter_rows.update_rows, in-place via input_output_aliases)
-    # for BOTH the table rows and the lane-concat moments.  XLA's scatter
-    # is NOT intrinsically slow here — isolated, the same sorted-unique
-    # drop-mode scatter runs in ~40us — but inside the full step the
-    # memory-space-assignment pass stages the update rows in VMEM and the
-    # kCustom scatter emitter degrades to ~5-6 ms/step for the two
-    # write-backs (device traces r1-r3, fusion.29/30; reproduced by none
-    # of: producer fusion, OOB sentinel tail, 16MB scoped-VMEM pressure —
-    # scripts/update_rows_bench.py).  The DMA kernel measures ~0.04 ms at
-    # the same U and is immune to MSA's operand placement.  The kernel is
-    # pure row DMA, dtype-agnostic: bf16 tables (production default since
-    # r3) and the 256-lane f32 moment rows are hardware-verified by
-    # scripts/verify_update_rows_tpu.py.  NOTE: the r3 ladder's "DMA
-    # opt-ins neutral" result was a dead-flag artifact — the old f32-only
-    # gate disabled this path entirely under bf16 tables, so the A/B
-    # measured noise.  DMT_DMA_WB=0 restores the XLA scatter pair.
-    if (jax.default_backend() == "tpu" and table.shape[1] % 128 == 0
-            and os.environ.get("DMT_DMA_WB", "0") == "1"):
+    # Write-back: on TPU, the TABLE rows go through the Pallas per-row
+    # HBM->HBM DMA kernel (ops/scatter_rows.update_rows, in-place via
+    # input_output_aliases) when its hardware law allows — 32-bit dtype
+    # at exactly 128 lanes (f32 packed big tables; bf16 tables and the
+    # 256-lane moments CANNOT per-row DMA on this Mosaic, see the
+    # update_rows docstring).  XLA's scatter is NOT intrinsically slow —
+    # isolated it runs in ~40us — but inside the full step the
+    # memory-space-assignment pass stages the update rows in VMEM and
+    # the kCustom scatter emitter degrades to ~5.4 ms/step (device
+    # traces r1-r4); the DMA kernel measures 1.5 ms standalone at the
+    # same U and is immune to MSA's operand placement.  NOTE: the r3
+    # ladder's "DMA opt-ins neutral" result was a dead-flag artifact —
+    # the old f32-only gate disabled this path entirely under bf16
+    # tables, so those A/Bs measured noise.  DMT_DMA_WB=0 restores the
+    # XLA scatter.
+    if (jax.default_backend() == "tpu" and table.shape[1] == 128
+            and table.dtype.itemsize == 4
+            and os.environ.get("DMT_DMA_WB", "1") == "1"):
         from ..ops.scatter_rows import update_rows
         table = update_rows(table, uids, p_new)
-        mv = update_rows(mv, uids, mv_new)
+        mv = mv.at[uids].set(mv_new, mode="drop",
+                             indices_are_sorted=True, unique_indices=True)
         return table, mv
     # uids is strictly ascending + unique (sentinel tail de-duplicated in
     # collect), so the scatters can skip conflict serialization

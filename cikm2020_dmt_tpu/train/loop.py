@@ -95,7 +95,17 @@ def _lazy_step(trainer: "Trainer", tstate: dict, batch: dict, rng):
                      else collect(t, batch, params["emb"][t.name],
                                   cfg.dedup_budget_div, mesh=mesh))
             for t in trainer.lazy_plan}
-    rows = {name: c.rows for name, c in cols.items()}
+    # grid_bf16 (or DMT_GRID_BF16=1 A/B): f32 tables + bf16 union grid —
+    # the [N, D] grid (where the step's HBM bytes are) rounds to bf16
+    # right after the [U, D] gather, while the table keeps the 32-bit
+    # 128-lane layout the per-row DMA write-back requires.  ONLY the
+    # diff leaf (the grid source) is cast; lazy_adam_rows still reads
+    # the true f32 c.rows, so param precision never round-trips bf16.
+    import os as _os
+    hybrid = cfg.grid_bf16 or _os.environ.get("DMT_GRID_BF16", "0") == "1"
+    rows = {name: (c.rows.astype(jnp.bfloat16)
+                   if hybrid and c.rows.dtype == jnp.float32 else c.rows)
+            for name, c in cols.items()}
     dense = trainer._dense_params(params)
 
     def lazy_loss(diff, mstate, batch, rng):

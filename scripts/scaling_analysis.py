@@ -26,7 +26,7 @@ Run:  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
         XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python scripts/scaling_analysis.py
 
-Writes results/scaling_analysis_r3.json and prints the PARITY.md table.
+Writes results/scaling_analysis_r4.json and prints the PARITY.md table.
 """
 
 from __future__ import annotations
@@ -125,7 +125,7 @@ def lower_step(mesh_data: int, mesh_model: int, batch: int,
         sku_rows=1_048_576, cid3_rows=12_000, batch_size=batch,
         mesh_model=mesh_model, mesh_data=mesh_data,
         shard_rows_threshold=shard_rows_threshold,
-        validate_step=10**9)
+        validate_step=10**9, compute_dtype="bfloat16")
     mesh = build_mesh(cfg, jax.devices()[:mesh_data * mesh_model])
     trainer = Trainer(cfg, mesh=mesh)
     tstate = trainer.shard_state(trainer.init_state())
@@ -157,6 +157,11 @@ def main() -> None:
         "t_compute_ms_per_chip_batch_4096": T_COMPUTE_MS,
         "overlap": "zero (conservative); XLA overlaps in practice",
         "lazy_block_growth": "linear in global batch (no cross-chip dedup)",
+        "dcn_model": "all-reduce crosses DCN hierarchically (XLA "
+                     "multislice: in-host reduce-scatter on ICI, one "
+                     "inter-host payload per host NIC per direction); "
+                     "all-to-all payloads cross once, each chip's "
+                     "off-host share riding the shared host NIC",
     }}
 
     # --- measure per-axis bytes on the virtual-device meshes ------------
@@ -256,7 +261,7 @@ def main() -> None:
             if data_sz < 1:
                 continue
             t_model = t_data_ici = 0.0
-            data_bytes = 0.0
+            ar_bytes = a2a_bytes = 0.0
             for (a, k), v in tal.items():
                 if a == "self":
                     continue       # single-device group: no wire traffic
@@ -272,16 +277,28 @@ def main() -> None:
                     if k == "all-reduce":
                         grown = dense_floor + \
                             max(0.0, v - dense_floor) * scale
-                data_bytes += grown
+                if k == "all-reduce":
+                    ar_bytes += grown
+                else:
+                    a2a_bytes += grown
                 t_data_ici += ring_ms(grown, data_sz, ICI_BW, k)
             t_ici = t_model + t_data_ici
             eff_ici = T_COMPUTE_MS / (T_COMPUTE_MS + t_ici)
-            # DCN variant: data-axis traffic crosses hosts at DCN_BW_HOST
-            # shared by the host's chips
+            # DCN variant, per collective kind:
+            #  - all-reduce (dense grads + metrics) runs HIERARCHICALLY
+            #    across hosts (XLA multislice: in-host reduce-scatter on
+            #    ICI, inter-host exchange of the reduced payload, in-host
+            #    all-gather) -> each host NIC carries the payload once
+            #    per direction: t = 2 * S * (h-1)/h / DCN_BW_HOST.
+            #  - all-to-all rows/grads cross hosts once (no 2x reduce
+            #    factor); every chip's off-host share rides the host NIC:
+            #    per-host bytes = chips/host * S * (h-1)/h.
             if hosts > 1:
-                bw_dcn_chip = DCN_BW_HOST / CHIPS_PER_HOST
-                t_data_dcn = data_bytes * (hosts - 1) / hosts * 2 \
-                    / bw_dcn_chip * 1e3
+                t_ar = ar_bytes * 2 * (hosts - 1) / hosts \
+                    / DCN_BW_HOST * 1e3
+                t_a2a = a2a_bytes * CHIPS_PER_HOST * (hosts - 1) / hosts \
+                    / DCN_BW_HOST * 1e3
+                t_data_dcn = t_ar + t_a2a
             else:
                 t_data_dcn = t_data_ici
             t_dcn = t_model + t_data_dcn
@@ -298,9 +315,9 @@ def main() -> None:
     out["projection"] = table
 
     os.makedirs("results", exist_ok=True)
-    with open("results/scaling_analysis_r3.json", "w") as f:
+    with open("results/scaling_analysis_r4.json", "w") as f:
         json.dump(out, f, indent=1)
-    print("\nwrote results/scaling_analysis_r3.json")
+    print("\nwrote results/scaling_analysis_r4.json")
 
 
 if __name__ == "__main__":

@@ -588,7 +588,19 @@ class TestFullMeshLazy:
         rng = np.random.default_rng(7)
         for k in list(batch):
             if "sku" in k and k.endswith("__ids"):
-                ids = rng.permutation(65536)[: batch[k].size]
+                # ~70% of ids concentrated in owner 0's row range
+                # (about half the slots are sequence padding and zero
+                # out): the 0.01-mult capacity (128 floor) overflows
+                # that bucket (~170 uniques per model slice) while the
+                # 2.0-mult capacity (272) still holds it — the slack
+                # floor is per (requester, owner) bucket, so a uniform
+                # id spread can no longer overflow the sliced layout
+                n = batch[k].size
+                n0 = int(0.7 * n)
+                ids = np.concatenate([
+                    rng.permutation(8192)[:n0],
+                    8192 + rng.permutation(65536 - 8192)[:n - n0]])
+                ids = rng.permutation(ids)
                 batch[k] = (ids.reshape(batch[k].shape)
                             * (batch[k] != 0)).astype(np.int32)
         losses = {}
@@ -611,3 +623,22 @@ class TestFullMeshLazy:
             finally:
                 os.environ.pop("DMT_FMS_CAP_MULT", None)
         assert losses["2.0"] == pytest.approx(losses["0.01"], rel=1e-5)
+
+
+class TestGridBf16:
+    def test_hybrid_tracks_f32(self):
+        """grid_bf16 (f32 tables + bf16 union grid) must track the plain
+        f32 run closely: only the grid values and their cotangents round
+        to bf16; the Adam update reads true f32 rows and writes f32."""
+        cfg32 = g._demo_config(**KW)
+        cfgh = g._demo_config(grid_bf16=True, **KW)
+        batches = [g.synthetic_batch(cfg32, 64, seed=s) for s in (0, 1)]
+        _, ts32, loss32 = run_steps(cfg32, batches, 2)
+        _, tsh, lossh = run_steps(cfgh, batches, 2)
+        sku = np.asarray(tsh["params"]["emb"]["Sku"])
+        assert sku.dtype == np.float32
+        assert np.isfinite(lossh)
+        # bf16 grid rounding perturbs the loss at ~1e-2 relative scale
+        assert lossh == pytest.approx(loss32, rel=2e-2)
+        np.testing.assert_allclose(
+            sku, np.asarray(ts32["params"]["emb"]["Sku"]), atol=5e-3)
