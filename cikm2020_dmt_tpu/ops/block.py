@@ -581,8 +581,15 @@ def _fwd_call(seed, enc_in, dec_in, kmr, kmc, ew, dw, *, num_heads, scale,
         ] + _wspecs(D, F) + _wspecs(D, F),
         out_specs=pl.BlockSpec((nb, D), lambda b: (b, 0)),
         out_shape=_sds((B, D), enc_in.dtype, enc_in),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+        # nb>32 (the DMT_BLOCK_NB A/B — fewer weight reloads, bigger MXU
+        # M-dim) needs ~27M scoped VMEM in the fwd; raise the 16M
+        # compiler guard only then, so the default nb=32 executable (and
+        # its compile-cache entry) stays byte-identical
+        compiler_params=(pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024) if nb > 32
+            else pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",))),
         interpret=interpret,
     )(seed, enc_in, dec_in, kmr, kmc, *ew, *dw)
 

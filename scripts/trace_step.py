@@ -42,7 +42,9 @@ def run_trace(out_dir: str, steps: int) -> float:
     cfg = g._demo_config(sku_rows=5_000_000, batch_size=BATCH,
                          validate_step=10**9,
                          compute_dtype=os.environ.get("DMT_BENCH_DTYPE",
-                                                      "bfloat16"))
+                                                      "bfloat16"),
+                         table_bf16_threshold=int(os.environ.get(
+                             "DMT_TABLE_BF16_ROWS", 1_000_000)))
     trainer = Trainer(cfg)
     tstate = trainer.shard_state(trainer.init_state())
     step_fn = trainer._train_step()
@@ -106,6 +108,28 @@ def decompose(out_dir: str, steps: int, top: int) -> None:
     for name, ms in per_op.most_common(top):
         src = op_src.get(name, "")
         print(f"RESULT  {ms:7.2f} ms  {name}  {src}")
+    if os.environ.get("DMT_TRACE_DETAIL", "0") == "1":
+        # per-INSTANCE breakdown: the aggregated tf_op lines above hide
+        # how many distinct fusions share a source line — this prints
+        # each HLO instruction with its expression (shapes included)
+        inst = collections.Counter()
+        inst_info: dict[str, tuple] = {}
+        for e in events:
+            if (e.get("ph") != "X"
+                    or (e.get("pid"), e.get("tid")) not in op_tracks):
+                continue
+            a = e.get("args", {})
+            name = e.get("name", "?")
+            inst[name] += e.get("dur", 0) / 1e3 / steps
+            if name not in inst_info:
+                inst_info[name] = (a.get("tf_op", ""),
+                                   str(a.get("long_name", ""))[:220])
+        print("RESULT -- by instance --")
+        for name, ms in inst.most_common(top):
+            tf_op, long_name = inst_info.get(name, ("", ""))
+            print(f"RESULT  {ms:7.2f} ms  {name}  [{tf_op}]")
+            if long_name:
+                print(f"RESULT           {long_name}")
 
 
 def main() -> None:
