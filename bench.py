@@ -68,15 +68,22 @@ def main() -> None:
         tstate, metrics, loss = step_fn(tstate, metrics,
                                         batches[i % n_cycle],
                                         jax.random.fold_in(rng, i))
-    jax.block_until_ready(loss)
+    jax.block_until_ready((tstate, loss))
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         tstate, metrics, loss = step_fn(tstate, metrics,
                                         batches[i % n_cycle],
                                         jax.random.fold_in(rng, WARMUP + i))
-    jax.block_until_ready(loss)
+    # block on the WHOLE state tree, not just the loss: in-place-aliased
+    # Pallas write-backs (update_rows) can otherwise report their output
+    # buffer ready before the side-effecting kernel drains, collapsing
+    # the cross-step dependency chain this timing relies on
+    jax.block_until_ready((tstate, loss))
     dt = (time.perf_counter() - t0) / ITERS
+    loss_v = float(loss)
+    print(f"# final loss {loss_v:.6f} (finite={loss_v == loss_v})",
+          flush=True)
 
     eps = BATCH / dt
     n_chips = jax.device_count()
