@@ -82,8 +82,10 @@ def main() -> None:
     jax.block_until_ready((tstate, loss))
     dt = (time.perf_counter() - t0) / ITERS
     loss_v = float(loss)
-    print(f"# final loss {loss_v:.6f} (finite={loss_v == loss_v})",
-          flush=True)
+    ovf = int(tstate.get("lazy_overflow", 0))
+    print(f"# final loss {loss_v:.6f} (finite={loss_v == loss_v}) | "
+          f"lazy_overflow {ovf} (nonzero = some cycled batches paid the "
+          f"exact-fallback gather)", flush=True)
 
     eps = BATCH / dt
     n_chips = jax.device_count()
