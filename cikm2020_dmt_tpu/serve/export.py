@@ -205,8 +205,12 @@ class Scorer:
                  scale: np.ndarray, const_vec: np.ndarray):
         self.cfg = cfg
         self.model = build_model(cfg)
-        self.params = params
-        self.model_state = model_state
+        # commit the bundle to device ONCE: orbax restores numpy arrays,
+        # and numpy jit arguments are re-transferred on EVERY call — on
+        # a tunneled host->device link that is the whole bundle (~150 MB
+        # f32) per request, measured ~2.8 s/request before this line
+        self.params = jax.device_put(params)
+        self.model_state = jax.device_put(model_state)
         self.scale = jnp.asarray(scale)
         self.const_vec = jnp.asarray(const_vec)
         w = cfg.export_weight

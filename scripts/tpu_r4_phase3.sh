@@ -22,3 +22,8 @@ run trace_hybrid_bwd env DMT_TABLE_BF16_ROWS=0 DMT_GRID_BF16=1 DMT_DMA_BWD=1 DMT
 # block kernel nb=64 (fewer weight reloads; raised fwd VMEM guard)
 run bench_nb64       env DMT_DMA_BWD=1 DMT_BLOCK_NB=64 python bench.py
 echo ALL DONE
+# serving rerun: params committed to device once (the 2.8s/request was
+# the ~150MB numpy bundle re-uploading per call) + profiler device time
+run serve2      python bench_serve.py
+run serve2_int8 env DMT_SERVE_BUNDLE=out/dmt_demo/int8_bundle python bench_serve.py
+echo PHASE3 DONE
