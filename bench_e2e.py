@@ -55,6 +55,44 @@ def main() -> None:
         demo, demo.validation_data_path, BATCH, epochs=-1,
         shuffle=False, with_headers=False))
 
+    if os.environ.get("DMT_E2E_DETAIL", "0") == "1":
+        # decomposition mode: serialize the chain on purpose and time each
+        # leg per step (host parse/assemble, device_put dispatch+drain,
+        # step dispatch+drain).  Pipelining is broken here by design —
+        # the p50s say where the serial floor lives, not the e2e rate.
+        src = iter(stream)
+        t_data, t_putd, t_putb, t_stepd, t_stepb = [], [], [], [], []
+        for i in range(WARM + ITERS):
+            t0 = time.perf_counter()
+            batch = next(src)
+            t1 = time.perf_counter()
+            dev = trainer.device_batch(batch)
+            t2 = time.perf_counter()
+            jax.block_until_ready(list(dev.values()))
+            t3 = time.perf_counter()
+            tstate, metrics, loss = step_fn(tstate, metrics, dev,
+                                            jax.random.fold_in(rng, i))
+            t4 = time.perf_counter()
+            jax.block_until_ready((tstate, loss))
+            t5 = time.perf_counter()
+            if i >= WARM:
+                t_data.append(t1 - t0); t_putd.append(t2 - t1)
+                t_putb.append(t3 - t2); t_stepd.append(t4 - t3)
+                t_stepb.append(t5 - t4)
+        import numpy as _np
+        for name, xs in (("host-parse", t_data), ("put-dispatch", t_putd),
+                         ("put-drain", t_putb), ("step-dispatch", t_stepd),
+                         ("step-drain", t_stepb)):
+            xs = _np.asarray(xs) * 1e3
+            print(f"# {name:13s} p50 {_np.percentile(xs, 50):8.2f} ms  "
+                  f"p90 {_np.percentile(xs, 90):8.2f} ms  "
+                  f"max {xs.max():8.2f} ms", flush=True)
+        tot = (_np.asarray(t_data) + _np.asarray(t_putd) + _np.asarray(t_putb)
+               + _np.asarray(t_stepd) + _np.asarray(t_stepb))
+        dt = float(_np.median(tot))
+        print(f"# serialized-chain median {dt * 1e3:.1f} ms/step = "
+              f"{BATCH / dt:,.0f} ex/s (pipelined rate below)", flush=True)
+
     it = trainer.device_prefetch(iter(stream))
     step = 0
     for batch, dev in it:
