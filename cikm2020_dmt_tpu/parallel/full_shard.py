@@ -396,19 +396,19 @@ def fms_adam_update(mesh: Mesh, table: jnp.ndarray, mv: jnp.ndarray,
         safe = jnp.minimum(uniq_rel, rows_per_dev - 1)
         rows_cur = jnp.take(tshard, safe, axis=0,
                             indices_are_sorted=True)
-        mv_cur = jnp.take(mvshard, safe, axis=0, indices_are_sorted=True)
+        mv_cur = jnp.take(mvshard, safe, axis=1, indices_are_sorted=True)
         p_new, mv_new = _adam_rows_math(rows_cur, gsum, mv_cur, lr_l,
                                         count_l, b1, b2, eps, tshard.dtype)
         tshard = tshard.at[uniq_rel].set(
             p_new, mode="drop", indices_are_sorted=True, unique_indices=True)
-        mvshard = mvshard.at[uniq_rel].set(
+        mvshard = mvshard.at[:, uniq_rel].set(
             mv_new, mode="drop", indices_are_sorted=True, unique_indices=True)
         return tshard, mvshard
 
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(AXES, None), P(AXES, None), P(DATA_AXIS),
+        in_specs=(P(AXES, None), P(None, AXES, None), P(DATA_AXIS),
                   P(DATA_AXIS, None), P(), P()),
-        out_specs=(P(AXES, None), P(AXES, None)),
+        out_specs=(P(AXES, None), P(None, AXES, None)),
         check_vma=False,
     )(table, mv, uids, g_rows, lr, count)

@@ -322,9 +322,11 @@ def _adam_rows_math(rows, g_rows, mvu, lr, count,
     bf16 tables (cfg.table_bf16_threshold) store rows/grads in bf16; the
     update computes in f32 against the f32 moments and rounds once to
     the table dtype on write-back.  Bias correction uses the global
-    post-increment ``count`` (optax.scale_by_adam parity)."""
-    d = rows.shape[1]
-    mu, vu = mvu[:, :d], mvu[:, d:]
+    post-increment ``count`` (optax.scale_by_adam parity).
+
+    ``mvu`` is the [2, U, D] row-stacked moment block (m = mvu[0],
+    v = mvu[1]; see the Trainer.init_state layout note)."""
+    mu, vu = mvu[0], mvu[1]
     g32 = g_rows.astype(jnp.float32)
     m_new = b1 * mu + (1.0 - b1) * g32
     v_new = b2 * vu + (1.0 - b2) * (g32 * g32)
@@ -333,7 +335,7 @@ def _adam_rows_math(rows, g_rows, mvu, lr, count,
     vhat = v_new / (1.0 - jnp.power(b2, c))
     p_new = (rows.astype(jnp.float32)
              - lr * mhat / (jnp.sqrt(vhat) + eps)).astype(out_dtype)
-    return p_new, jnp.concatenate([m_new, v_new], axis=1)
+    return p_new, jnp.stack([m_new, v_new])
 
 
 def lazy_adam_rows_sharded(mesh, table: jnp.ndarray, mv: jnp.ndarray,
@@ -360,20 +362,20 @@ def lazy_adam_rows_sharded(mesh, table: jnp.ndarray, mv: jnp.ndarray,
         rel = uids_l - m * rows_per_shard
         inb = (rel >= 0) & (rel < rows_per_shard)
         safe = jnp.where(inb, rel, 0)
-        mvu = jnp.take(mvshard, safe, axis=0)
+        mvu = jnp.take(mvshard, safe, axis=1)
         p_new, mv_new = _adam_rows_math(rows_l, g_l, mvu, lr_l, count_l,
                                         b1, b2, eps, tshard.dtype)
         # out-of-shard (and sentinel) slots map to row R_shard -> dropped
         tgt = jnp.where(inb, rel, rows_per_shard)
         tshard = tshard.at[tgt].set(p_new, mode="drop")
-        mvshard = mvshard.at[tgt].set(mv_new, mode="drop")
+        mvshard = mvshard.at[:, tgt].set(mv_new, mode="drop")
         return tshard, mvshard
 
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(MODEL_AXIS, None), P(MODEL_AXIS, None),
+        in_specs=(P(MODEL_AXIS, None), P(None, MODEL_AXIS, None),
                   P(), P(), P(), P(), P()),
-        out_specs=(P(MODEL_AXIS, None), P(MODEL_AXIS, None)),
+        out_specs=(P(MODEL_AXIS, None), P(None, MODEL_AXIS, None)),
     )(table, mv, uids, rows, g_rows, lr, count)
 
 
@@ -388,12 +390,20 @@ def lazy_adam_rows(table: jnp.ndarray, mv: jnp.ndarray,
     Matches optax.scale_by_adam + scale_by_learning_rate math exactly for
     the touched rows: m/v decay + bias correction by the global ``count``.
 
-    ``mv`` holds both Adam moments lane-concatenated, [R, 2*Dphys] with
-    m = mv[:, :D] and v = mv[:, D:].  Device traces showed the write-back
-    scatters dominated by per-row-index serialization, not bytes — fusing
-    m and v into one array turns two gathers + two scatters into one of
-    each (lanes are ~free on the VPU; scatter cost is per (8, 128) tile
-    row, and one 256-lane scatter loop beats two 128-lane loops).
+    ``mv`` holds both Adam moments ROW-stacked, [2, R, Dphys] with
+    m = mv[0] and v = mv[1].  History: r2 lane-concatenated them
+    ([R, 2D], one 256-lane gather/scatter instead of two 128-lane ones —
+    a ~0.25 ms win over separate leaves when both go through XLA's
+    scatter).  r4 flipped to row-stacking because the per-row HBM DMA
+    write-back kernel (ops/scatter_rows.update_rows) is 128-lane-only on
+    this Mosaic (whole-row AND lane-offset slices of a 256-lane memref
+    both fail the slice-width check — measured, verify_update_rows_tpu)
+    while [2, R, D] merge-reshapes to [2R, D] for FREE (leading-dim
+    merge is layout-preserving; a [R, 2D] -> [2R, D] reshape re-chunks
+    lanes and would copy all 1.28 GB at Sku size).  The lane-concat
+    XLA scatter measured 4.08 ms/step in the r4 trace; the DMA twin of
+    the row-stacked layout is ~2.2 ms (2U rows at the measured in-step
+    rate).
     """
     # optax.scale_by_schedule evaluates the schedule at the PRE-increment
     # count (0-based step), while ``count`` here is the post-increment
@@ -402,9 +412,9 @@ def lazy_adam_rows(table: jnp.ndarray, mv: jnp.ndarray,
     # before the dense params (and before tf.train.piecewise_constant)
     import os
     lr = schedule(count - 1)
-    d = table.shape[1]
-    safe = jnp.minimum(uids, table.shape[0] - 1)
-    mvu = jnp.take(mv, safe, axis=0, indices_are_sorted=True)
+    rphys = table.shape[0]
+    safe = jnp.minimum(uids, rphys - 1)
+    mvu = jnp.take(mv, safe, axis=1, indices_are_sorted=True)
     # (A fully-fused math+write-back kernel — VERDICT r3 #2a — was built
     # and interpret-verified, but Mosaic rejects row DMA out of tiled
     # VMEM, and once the chunk stages through HBM scratch the kernel is
@@ -427,18 +437,35 @@ def lazy_adam_rows(table: jnp.ndarray, mv: jnp.ndarray,
     # the old f32-only gate disabled this path entirely under bf16
     # tables, so those A/Bs measured noise.  DMT_DMA_WB=0 restores the
     # XLA scatter.
-    if (jax.default_backend() == "tpu" and table.shape[1] == 128
-            and table.dtype.itemsize == 4
+    on_tpu = jax.default_backend() == "tpu"
+    if (on_tpu and table.shape[1] == 128 and table.dtype.itemsize == 4
             and os.environ.get("DMT_DMA_WB", "1") == "1"):
         from ..ops.scatter_rows import update_rows
         table = update_rows(table, uids, p_new)
-        mv = mv.at[uids].set(mv_new, mode="drop",
-                             indices_are_sorted=True, unique_indices=True)
-        return table, mv
-    # uids is strictly ascending + unique (sentinel tail de-duplicated in
-    # collect), so the scatters can skip conflict serialization
-    table = table.at[uids].set(p_new, mode="drop",
-                               indices_are_sorted=True, unique_indices=True)
-    mv = mv.at[uids].set(mv_new, mode="drop",
-                         indices_are_sorted=True, unique_indices=True)
+    else:
+        # uids is strictly ascending + unique (sentinel tail de-duplicated
+        # in collect), so the scatters can skip conflict serialization
+        table = table.at[uids].set(p_new, mode="drop",
+                                   indices_are_sorted=True,
+                                   unique_indices=True)
+    # Moments: the row-stacked [2, R, D] layout merge-reshapes to
+    # [2R, D] for free, so BOTH moment blocks ride the same 128-lane
+    # DMA kernel as one call (2U rows) — replacing the 4.08 ms XLA
+    # scatter of the old lane-concat layout (r4 trace).  m-part sentinel
+    # ids must remap OUT of [0, 2R): a raw rphys+k sentinel would land
+    # in the v block.  DMT_DMA_MV2=0 restores the XLA scatter.
+    if (on_tpu and mv.shape[2] == 128 and mv.dtype.itemsize == 4
+            and os.environ.get("DMT_DMA_MV2", "1") == "1"):
+        from ..ops.scatter_rows import update_rows
+        twoR = jnp.int32(2 * rphys)
+        real = uids < rphys
+        ids2 = jnp.concatenate([jnp.where(real, uids, twoR),
+                                jnp.where(real, uids + rphys, twoR)])
+        mv = update_rows(mv.reshape(2 * rphys, -1), ids2,
+                         mv_new.reshape(-1, mv_new.shape[2])
+                         ).reshape(2, rphys, -1)
+    else:
+        mv = mv.at[:, uids].set(mv_new, mode="drop",
+                                indices_are_sorted=True,
+                                unique_indices=True)
     return table, mv

@@ -234,14 +234,15 @@ class Trainer:
         if self.lazy_plan:
             # moments for the lazy tables live outside optax, full-shape so
             # untouched rows keep state across steps (LazyAdam semantics);
-            # m and v lane-concatenated as [R, 2*D] (one gather/scatter per
-            # step instead of two — see lazy_adam_rows)
+            # m and v ROW-stacked as [2, R, D] (m = mv[0], v = mv[1]) so
+            # the write-back merge-reshapes to [2R, D] for the 128-lane
+            # row-DMA kernel — see the lazy_adam_rows layout note.
             # moments stay f32 even for bf16 tables (table_bf16_threshold):
             # v accumulates tiny squared gradients that bf16 would flush
             state["lazy_opt"] = {
                 t.name: {"mv": jnp.zeros(
-                    (params["emb"][t.name].shape[0],
-                     2 * params["emb"][t.name].shape[1]),
+                    (2, params["emb"][t.name].shape[0],
+                     params["emb"][t.name].shape[1]),
                     jnp.float32)}
                 for t in self.lazy_plan}
             state["lazy_overflow"] = jnp.zeros((), jnp.int32)
@@ -276,15 +277,15 @@ class Trainer:
 
         out["opt_state"] = jax.tree_util.tree_map(put_opt, tstate["opt_state"])
         if "lazy_opt" in tstate:
-            # lazy moments are [R, 2D] (lane-concatenated) so the
-            # shape-match heuristic misses them: mirror the table's
-            # sharding explicitly (row dim matches)
-            from jax.sharding import NamedSharding
+            # lazy moments are [2, R, D] (row-stacked) so the shape-match
+            # heuristic misses them: mirror the table's row sharding
+            # explicitly, shifted one dim right (dim 1 = table rows)
+            from jax.sharding import NamedSharding, PartitionSpec
             out["lazy_opt"] = {
                 name: {"mv": jax.device_put(
                     sub["mv"],
-                    NamedSharding(self.mesh,
-                                  psh["emb"][name].spec))}
+                    NamedSharding(self.mesh, PartitionSpec(
+                        None, *psh["emb"][name].spec)))}
                 for name, sub in tstate["lazy_opt"].items()}
         if "lazy_overflow" in tstate:
             out["lazy_overflow"] = jax.device_put(tstate["lazy_overflow"],

@@ -230,7 +230,7 @@ class TestLazyScheduleParity:
         # update where k-1 > 2, i.e. k=4
         for k, want_lr in ((1, 0.1), (3, 0.1), (4, 0.01)):
             table = jnp.ones((R, D), jnp.float32)
-            mv = jnp.zeros((R, 2 * D), jnp.float32)
+            mv = jnp.zeros((2, R, D), jnp.float32)
             t2, _ = lazy_adam_rows(table, mv, uids, rows, grows,
                                    jnp.int32(k), sched)
             mhat = (1 - b1) / (1 - b1 ** k)
