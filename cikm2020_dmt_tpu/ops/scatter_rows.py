@@ -498,8 +498,13 @@ take_rows_sparse.defvjp(_take_rows_sparse_fwd, _take_rows_sparse_bwd)
 
 
 def _dma_bwd_wanted(d: int) -> bool:
+    # default ON since r4: under the cycling-batch bench the composite
+    # backward (XLA take reorder + streaming segsum) measures 90.4k vs
+    # 84.9k ex/s with the in-step segment_sum (the r3 "neutral" verdict
+    # compared against a fixed reused batch).  DMT_DMA_BWD=0 restores
+    # the segment_sum backward.
     import os
-    return (os.environ.get("DMT_DMA_BWD", "0") == "1"
+    return (os.environ.get("DMT_DMA_BWD", "1") == "1"
             and jax.default_backend() == "tpu" and d % 128 == 0)
 
 
