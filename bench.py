@@ -48,7 +48,11 @@ def main() -> None:
                          # remains for A/Bs: DMT_TABLE_BF16_ROWS=0 = f32
                          table_bf16_threshold=int(
                              os.environ.get("DMT_TABLE_BF16_ROWS",
-                                            "1000000")))
+                                            "1000000")),
+                         # r4 A/B: bf16 cotangents for the small-table
+                         # one-hot backward dots (~2.2 ms f32 in traces)
+                         onehot_bwd_bf16=(os.environ.get(
+                             "DMT_ONEHOT_BF16", "0") == "1"))
     trainer = Trainer(cfg)
     tstate = trainer.shard_state(trainer.init_state())
     step_fn = trainer._train_step()

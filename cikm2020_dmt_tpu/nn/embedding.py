@@ -108,7 +108,24 @@ def collection_init(rng, specs: tuple[EmbeddingSpec, ...], dtype=jnp.float32,
 def select_packed(grid128: jnp.ndarray, slot: jnp.ndarray, p: int,
                   dim: int) -> jnp.ndarray:
     """[..., p*d] physical rows + [...] slot -> [..., d] logical rows via a
-    one-hot contraction (VPU; avoids per-element dynamic slicing)."""
+    one-hot contraction (VPU; avoids per-element dynamic slicing).
+
+    DMT_PACK_SELECT=slice swaps the einsum for p static lane-slices +
+    masked sum (same math).  Rationale: the einsum's [..., p, d] reshape
+    of the [N, 128] gather output forces an XLA relayout copy pair
+    ({0,1} gather layout -> {1,0,3,2} einsum operand, ~1.2 ms/step each
+    way in the r4 traces at the Sku shape); lane-slices consume the
+    gather output in its native layout."""
+    import os
+    if os.environ.get("DMT_PACK_SELECT", "einsum") == "slice":
+        out = None
+        for q in range(p):
+            blk = jax.lax.slice_in_dim(grid128, q * dim, (q + 1) * dim,
+                                       axis=-1)
+            sel = jnp.where((slot == q)[..., None], blk,
+                            jnp.zeros((), grid128.dtype))
+            out = sel if out is None else out + sel
+        return out
     grid = grid128.reshape(*grid128.shape[:-1], p, dim)
     onehot = (slot[..., None]
               == jax.lax.broadcasted_iota(jnp.int32, (*slot.shape, p),

@@ -335,6 +335,16 @@ class TestPackedTables:
                                        4, 32))
         for i, s in enumerate(slot):
             np.testing.assert_array_equal(out[i], grid[i, s*32:(s+1)*32])
+        # DMT_PACK_SELECT=slice (lane-slices + masked sum, dodges the
+        # einsum's [N,p,d] relayout copies) is the same math
+        import os
+        os.environ["DMT_PACK_SELECT"] = "slice"
+        try:
+            out2 = np.asarray(select_packed(jnp.asarray(grid),
+                                            jnp.asarray(slot), 4, 32))
+        finally:
+            del os.environ["DMT_PACK_SELECT"]
+        np.testing.assert_array_equal(out2, out)
 
     def test_packed_model_matches_unpacked(self, rng):
         """Packing is a pure layout change: same seed -> identical logits."""
