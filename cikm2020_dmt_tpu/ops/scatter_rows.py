@@ -19,12 +19,19 @@ DMA out of tiled VMEM is illegal on Mosaic — never compiled on hw),
 ``tiled_scatter_add`` (no production user), and the HBM-staged fused
 Adam kernel ``adam_update_rows`` (byte-identical to XLA-math + two
 ``update_rows`` once Mosaic forces the HBM staging hop; two-stage ships
-instead).
+instead), and a kb-lane-block kernel moving each 256-lane row as two
+[1, 128] DMAs at lane offsets 0/128 (interpret-correct, but Mosaic
+rejects lane-offset row slices of >128-lane memrefs on hw — r4 probe).
 
-Hardware law (v5e, Mosaic): single-ROW slices of HBM memrefs compile
-for 32-bit dtypes only — bf16 HBM memrefs carry (2,1) sublane packing
-("Slice shape along dimension 0 must be aligned to tiling (8)"), so
-16-bit tables DMA their rows through an int32 bitcast view.
+Hardware law (v5e, Mosaic; scripts/verify_update_rows_tpu.py): per-row
+HBM DMA compiles ONLY for 32-bit dtypes at exactly 128 lanes.  bf16
+memrefs carry (2,1) sublane packing ("Slice shape along dimension 0
+must be aligned to tiling (8)") and no free int32 view exists (a
+jax-level bitcast is row-major logical -> full-table relayout, 42 ms
+at Sku size); 256-lane rows fail the slice-width check both as whole
+rows and as two lane-offset [1, 128] slices (r4 probes).  Wide 32-bit
+rows therefore go through a row-stacked [k*R, 128] layout instead
+(see train/lazy.lazy_adam_rows).
 """
 
 from __future__ import annotations
@@ -99,68 +106,6 @@ def _update_rows_kernel(ids_ref, rows_hbm, table_hbm, out_hbm, *,
     pl.run_scoped(body, sem_w=pltpu.SemaphoreType.DMA((nslots,)))
 
 
-def _update_rows_kernel_multi(ids_ref, rows_hbm, table_hbm, out_hbm, *,
-                              chunk: int, num_rows: int, kb: int,
-                              nslots: int = 8):
-    """``_update_rows_kernel`` for rows of kb*128 lanes: the whole-row DMA
-    of a >128-lane HBM memref fails Mosaic's slice-width check (measured
-    r4, the f32 D=256 probe), but LANE-dim slices at 128-aligned offsets
-    are tile-aligned — so each row moves as ``kb`` independent [1, 128]
-    DMAs (unrolled; kb is static).  Built for the lazy-Adam moment array
-    mv [R, 2D] (f32, 256 lanes), whose XLA in-step scatter is the 4.1 ms
-    top-5 op in the round-4 trace (results/trace_decomposition_r3.txt
-    successor)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    step = pl.program_id(0)
-
-    def body(sem_w):
-        def issue(i, _):
-            row_id = ids_ref[0, 0, i]
-
-            @pl.when(i >= nslots)
-            def _():
-                prev = ids_ref[0, 0, i - nslots]
-
-                @pl.when(prev < num_rows)
-                def _():
-                    for b in range(kb):
-                        pltpu.make_async_copy(
-                            rows_hbm.at[step * chunk + i - nslots,
-                                        pl.ds(b * 128, 128)],
-                            out_hbm.at[prev, pl.ds(b * 128, 128)],
-                            sem_w.at[i % nslots, b]).wait()
-
-            @pl.when(row_id < num_rows)
-            def _():
-                for b in range(kb):
-                    pltpu.make_async_copy(
-                        rows_hbm.at[step * chunk + i, pl.ds(b * 128, 128)],
-                        out_hbm.at[row_id, pl.ds(b * 128, 128)],
-                        sem_w.at[i % nslots, b]).start()
-            return 0
-
-        jax.lax.fori_loop(0, chunk, issue, 0)
-
-        def drain(k, _):
-            i = chunk - nslots + k
-            rid = ids_ref[0, 0, i]
-
-            @pl.when(rid < num_rows)
-            def _():
-                for b in range(kb):
-                    pltpu.make_async_copy(
-                        rows_hbm.at[step * chunk + i, pl.ds(b * 128, 128)],
-                        out_hbm.at[rid, pl.ds(b * 128, 128)],
-                        sem_w.at[i % nslots, b]).wait()
-            return 0
-
-        jax.lax.fori_loop(0, nslots, drain, 0)
-
-    pl.run_scoped(body, sem_w=pltpu.SemaphoreType.DMA((nslots, kb)))
-
-
 def update_rows(table: jnp.ndarray, ids: jnp.ndarray, rows: jnp.ndarray,
                 interpret: bool = False) -> jnp.ndarray:
     """``table.at[ids].set(rows, mode="drop")`` for UNIQUE ids as a Pallas
@@ -183,9 +128,8 @@ def update_rows(table: jnp.ndarray, ids: jnp.ndarray, rows: jnp.ndarray,
 
     n, d = rows.shape
     num_rows = table.shape[0]
-    assert table.shape[1] == d and d % 128 == 0 \
+    assert table.shape[1] == d and d == 128 \
         and table.dtype.itemsize == 4, (table.shape, rows.shape)
-    kb = d // 128
     # mode="drop" parity: negative ids must be dropped too, not DMA'd to a
     # negative row offset — fold them into the >= num_rows skip guard
     ids = jnp.where(ids < 0, jnp.int32(num_rows), ids.astype(jnp.int32))
@@ -198,13 +142,8 @@ def update_rows(table: jnp.ndarray, ids: jnp.ndarray, rows: jnp.ndarray,
     # the array dims (Pallas TPU block-shape constraint)
     ids = ids.reshape(npad // chunk, 1, chunk)
 
-    # d == 128 keeps the original kernel so its compile-cache entry (and
-    # every measured number) stays byte-identical; wider 32-bit rows move
-    # as kb lane-block DMAs per row
-    kernel = (functools.partial(_update_rows_kernel, chunk=chunk,
-                                num_rows=num_rows) if kb == 1 else
-              functools.partial(_update_rows_kernel_multi, chunk=chunk,
-                                num_rows=num_rows, kb=kb))
+    kernel = functools.partial(_update_rows_kernel, chunk=chunk,
+                               num_rows=num_rows)
 
     return pl.pallas_call(
         kernel,

@@ -14,11 +14,10 @@ class TestUpdateRows:
     def test_update_rows_in_place(self, rng, dt):
         """update_rows == .at[ids].set(rows, mode='drop') for unique sorted
         ids incl. the lazy-Adam out-of-range sentinel tail (skipped).
-        32-bit dtypes only (v5e Mosaic cannot row-slice 16-bit HBM
-        memrefs); d=256 exercises the kb-lane-block kernel variant that
-        moves each wide row as two 128-lane DMAs (the lazy-Adam moment
-        write-back, DMT_DMA_MV2)."""
-        for d in (128, 256):
+        32-bit dtypes at 128 lanes only — the hardware law (v5e Mosaic
+        rejects 16-bit and >128-lane row slices; wide rows row-stack to
+        [k*R, 128] instead, see lazy_adam_rows)."""
+        for d in (128,):
             R, U = 500, 90
             table = rng.normal(size=(R, d)).astype(dt)
             ids = np.sort(rng.choice(R, U, replace=False)).astype(np.int32)
