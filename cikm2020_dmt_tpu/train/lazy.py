@@ -390,20 +390,20 @@ def lazy_adam_rows(table: jnp.ndarray, mv: jnp.ndarray,
     Matches optax.scale_by_adam + scale_by_learning_rate math exactly for
     the touched rows: m/v decay + bias correction by the global ``count``.
 
-    ``mv`` holds both Adam moments ROW-stacked, [2, R, Dphys] with
-    m = mv[0] and v = mv[1].  History: r2 lane-concatenated them
-    ([R, 2D], one 256-lane gather/scatter instead of two 128-lane ones —
-    a ~0.25 ms win over separate leaves when both go through XLA's
-    scatter).  r4 flipped to row-stacking because the per-row HBM DMA
-    write-back kernel (ops/scatter_rows.update_rows) is 128-lane-only on
-    this Mosaic (whole-row AND lane-offset slices of a 256-lane memref
-    both fail the slice-width check — measured, verify_update_rows_tpu)
-    while [2, R, D] merge-reshapes to [2R, D] for FREE (leading-dim
-    merge is layout-preserving; a [R, 2D] -> [2R, D] reshape re-chunks
-    lanes and would copy all 1.28 GB at Sku size).  The lane-concat
-    XLA scatter measured 4.08 ms/step in the r4 trace; the DMA twin of
-    the row-stacked layout is ~2.2 ms (2U rows at the measured in-step
-    rate).
+    ``mv`` holds both Adam moments ROW-stacked FLAT, [2R, Dphys] with
+    m = rows [0, R) and v = rows [R, 2R).  History: r2 lane-concatenated
+    them ([R, 2D], one 256-lane gather/scatter instead of two 128-lane
+    ones — a ~0.25 ms win over separate leaves when both go through
+    XLA's scatter, measured 4.08 ms/step in the r4 trace).  r4 flipped
+    to row-stacking because the per-row HBM DMA write-back kernel
+    (ops/scatter_rows.update_rows) is 128-lane-only on this Mosaic
+    (whole-row AND lane-offset slices of a 256-lane memref both fail
+    the slice-width check; 3-D indexed row DMA compiles but issues
+    12-25x slower — r4 probes), and FLAT because the aliased pallas
+    operand must BE the donated param: with a [2, R, D] leaf and a
+    merge-reshape in between, XLA copies all 1.28 GB first (measured
+    3.90 ms/step as a bare 'tstate..mv' copy op in the r4 trace).  The
+    in-step DMA write-back at 2U rows is 1.87 ms.
     """
     # optax.scale_by_schedule evaluates the schedule at the PRE-increment
     # count (0-based step), while ``count`` here is the post-increment
@@ -413,8 +413,13 @@ def lazy_adam_rows(table: jnp.ndarray, mv: jnp.ndarray,
     import os
     lr = schedule(count - 1)
     rphys = table.shape[0]
+    U = uids.shape[0]
     safe = jnp.minimum(uids, rphys - 1)
-    mvu = jnp.take(mv, safe, axis=1, indices_are_sorted=True)
+    # one gather for both moment blocks: [safe; safe+R] is globally
+    # ascending (every m row < R <= every v row); the [2U, D] -> [2, U, D]
+    # leading-dim split is layout-free (U % 8 == 0)
+    mvu = jnp.take(mv, jnp.concatenate([safe, safe + rphys]), axis=0,
+                   indices_are_sorted=True).reshape(2, U, -1)
     # (A fully-fused math+write-back kernel — VERDICT r3 #2a — was built
     # and interpret-verified, but Mosaic rejects row DMA out of tiled
     # VMEM, and once the chunk stages through HBM scratch the kernel is
@@ -448,24 +453,25 @@ def lazy_adam_rows(table: jnp.ndarray, mv: jnp.ndarray,
         table = table.at[uids].set(p_new, mode="drop",
                                    indices_are_sorted=True,
                                    unique_indices=True)
-    # Moments: the row-stacked [2, R, D] layout merge-reshapes to
-    # [2R, D] for free, so BOTH moment blocks ride the same 128-lane
-    # DMA kernel as one call (2U rows) — replacing the 4.08 ms XLA
+    # Moments: both row-stacked blocks ride the same 128-lane DMA kernel
+    # as ONE call (2U rows, 1.87 ms in-step) — replacing the 4.08 ms XLA
     # scatter of the old lane-concat layout (r4 trace).  m-part sentinel
     # ids must remap OUT of [0, 2R): a raw rphys+k sentinel would land
     # in the v block.  DMT_DMA_MV2=0 restores the XLA scatter.
-    if (on_tpu and mv.shape[2] == 128 and mv.dtype.itemsize == 4
+    rows2 = mv_new.reshape(2 * U, -1)
+    real = uids < rphys
+    if (on_tpu and mv.shape[1] == 128 and mv.dtype.itemsize == 4
             and os.environ.get("DMT_DMA_MV2", "1") == "1"):
         from ..ops.scatter_rows import update_rows
         twoR = jnp.int32(2 * rphys)
-        real = uids < rphys
         ids2 = jnp.concatenate([jnp.where(real, uids, twoR),
                                 jnp.where(real, uids + rphys, twoR)])
-        mv = update_rows(mv.reshape(2 * rphys, -1), ids2,
-                         mv_new.reshape(-1, mv_new.shape[2])
-                         ).reshape(2, rphys, -1)
+        mv = update_rows(mv, ids2, rows2)
     else:
-        mv = mv.at[:, uids].set(mv_new, mode="drop",
-                                indices_are_sorted=True,
-                                unique_indices=True)
+        # unique sentinel remaps (out of range -> dropped); halves are
+        # individually ascending but the concat is not, so no sorted hint
+        senm = 2 * rphys + jax.lax.iota(jnp.int32, U)
+        ids2 = jnp.concatenate([jnp.where(real, uids, senm),
+                                jnp.where(real, uids + rphys, senm + U)])
+        mv = mv.at[ids2].set(rows2, mode="drop", unique_indices=True)
     return table, mv

@@ -234,14 +234,23 @@ class Trainer:
         if self.lazy_plan:
             # moments for the lazy tables live outside optax, full-shape so
             # untouched rows keep state across steps (LazyAdam semantics);
-            # m and v ROW-stacked as [2, R, D] (m = mv[0], v = mv[1]) so
-            # the write-back merge-reshapes to [2R, D] for the 128-lane
-            # row-DMA kernel — see the lazy_adam_rows layout note.
-            # moments stay f32 even for bf16 tables (table_bf16_threshold):
-            # v accumulates tiny squared gradients that bf16 would flush
+            # m and v ROW-stacked.  PLAIN-flavor tables store them FLAT as
+            # [2R, D] (m = rows [0,R), v = rows [R,2R)) so the write-back
+            # DMA kernel aliases the param directly — any reshape between
+            # the donated param and the pallas aliased operand makes XLA
+            # copy all 1.28 GB first (measured 3.90 ms/step, r4 trace),
+            # and 3-D indexed row DMA issues 12-25x slower (probe).
+            # Sharded/full-mesh tables keep [2, R, D] (dim 1 = table rows
+            # carries the row sharding; their write-backs are XLA
+            # scatters inside shard_map).  Moments stay f32 even for
+            # bf16 tables (table_bf16_threshold): v accumulates tiny
+            # squared gradients that bf16 would flush.
             state["lazy_opt"] = {
                 t.name: {"mv": jnp.zeros(
                     (2, params["emb"][t.name].shape[0],
+                     params["emb"][t.name].shape[1]) if
+                    (t.sharded or t.full_mesh) else
+                    (2 * params["emb"][t.name].shape[0],
                      params["emb"][t.name].shape[1]),
                     jnp.float32)}
                 for t in self.lazy_plan}
@@ -277,15 +286,19 @@ class Trainer:
 
         out["opt_state"] = jax.tree_util.tree_map(put_opt, tstate["opt_state"])
         if "lazy_opt" in tstate:
-            # lazy moments are [2, R, D] (row-stacked) so the shape-match
-            # heuristic misses them: mirror the table's row sharding
-            # explicitly, shifted one dim right (dim 1 = table rows)
+            # lazy moments are row-stacked so the shape-match heuristic
+            # misses them: mirror the table's sharding explicitly.  Flat
+            # [2R, D] (plain flavor) reuses the table spec verbatim (its
+            # rows are unsharded by definition); [2, R, D] (sharded /
+            # full-mesh) shifts it one dim right (dim 1 = table rows)
             from jax.sharding import NamedSharding, PartitionSpec
             out["lazy_opt"] = {
                 name: {"mv": jax.device_put(
                     sub["mv"],
-                    NamedSharding(self.mesh, PartitionSpec(
-                        None, *psh["emb"][name].spec)))}
+                    NamedSharding(self.mesh, psh["emb"][name].spec
+                                  if sub["mv"].ndim == 2 else
+                                  PartitionSpec(
+                                      None, *psh["emb"][name].spec)))}
                 for name, sub in tstate["lazy_opt"].items()}
         if "lazy_overflow" in tstate:
             out["lazy_overflow"] = jax.device_put(tstate["lazy_overflow"],

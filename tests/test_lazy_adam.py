@@ -40,6 +40,14 @@ def run_steps(cfg, batches, n_steps):
     return tr, ts, float(loss)
 
 
+def canon_mv(x):
+    """Moment layouts differ by flavor (flat [2R, D] plain vs [2, R, D]
+    sharded/full-mesh — see Trainer.init_state); normalize to [2, R, D]
+    for cross-flavor parity asserts."""
+    x = np.asarray(x)
+    return x.reshape(2, -1, x.shape[-1]) if x.ndim == 2 else x
+
+
 class TestLazyAdam:
     def test_plan_gating(self):
         cfg = g._demo_config(**KW)
@@ -230,7 +238,7 @@ class TestLazyScheduleParity:
         # update where k-1 > 2, i.e. k=4
         for k, want_lr in ((1, 0.1), (3, 0.1), (4, 0.01)):
             table = jnp.ones((R, D), jnp.float32)
-            mv = jnp.zeros((2, R, D), jnp.float32)
+            mv = jnp.zeros((2 * R, D), jnp.float32)  # flat row-stacked
             t2, _ = lazy_adam_rows(table, mv, uids, rows, grows,
                                    jnp.int32(k), sched)
             mhat = (1 - b1) / (1 - b1 ** k)
@@ -385,7 +393,7 @@ class TestDataParallelLazy:
             results[data] = (
                 float(loss),
                 np.asarray(ts["params"]["emb"]["Sku"]),
-                np.asarray(ts["lazy_opt"]["Sku"]["mv"]))
+                canon_mv(ts["lazy_opt"]["Sku"]["mv"]))
         assert results[1][0] == pytest.approx(results[8][0], rel=1e-5)
         # cross-device psum reassociation reaches the params through
         # Adam's rsqrt; measured spread is ~5e-6 relative (33/262k
@@ -481,7 +489,7 @@ class TestShardedLazy:
             results[(data, model)] = (
                 float(loss),
                 np.asarray(ts["params"]["emb"]["Sku"]),
-                np.asarray(ts["lazy_opt"]["Sku"]["mv"]))
+                canon_mv(ts["lazy_opt"]["Sku"]["mv"]))
         a, b_ = results[(1, 1)], results[(2, 4)]
         assert a[0] == pytest.approx(b_[0], rel=1e-5)
         np.testing.assert_allclose(a[1], b_[1], atol=1e-4, err_msg="Sku")
@@ -545,7 +553,7 @@ class TestFullMeshLazy:
             results[(d, m)] = (
                 float(loss),
                 np.asarray(ts["params"]["emb"]["Sku"]),
-                np.asarray(ts["lazy_opt"]["Sku"]["mv"]))
+                canon_mv(ts["lazy_opt"]["Sku"]["mv"]))
         a, b_ = results[(1, 1)], results[(data, model)]
         assert a[0] == pytest.approx(b_[0], rel=1e-5)
         np.testing.assert_allclose(a[1], b_[1], atol=1e-4, err_msg="Sku")
