@@ -110,14 +110,16 @@ def select_packed(grid128: jnp.ndarray, slot: jnp.ndarray, p: int,
     """[..., p*d] physical rows + [...] slot -> [..., d] logical rows via a
     one-hot contraction (VPU; avoids per-element dynamic slicing).
 
-    DMT_PACK_SELECT=slice swaps the einsum for p static lane-slices +
-    masked sum (same math).  Rationale: the einsum's [..., p, d] reshape
-    of the [N, 128] gather output forces an XLA relayout copy pair
-    ({0,1} gather layout -> {1,0,3,2} einsum operand, ~1.2 ms/step each
-    way in the r4 traces at the Sku shape); lane-slices consume the
-    gather output in its native layout."""
+    Default is p static lane-slices + masked sum; DMT_PACK_SELECT=einsum
+    restores the r2-r3 one-hot einsum (same math).  Rationale: the
+    einsum's [..., p, d] reshape of the [N, 128] gather output forces an
+    XLA relayout copy pair ({0,1} gather layout -> {1,0,3,2} einsum
+    operand, ~1.2 ms/step each way in the r4 traces at the Sku shape);
+    lane-slices consume the gather output in its native layout —
+    measured 42.2 -> 39.8 ms/step device-op sum on the flagship
+    (results/bench_ladder_r4.json)."""
     import os
-    if os.environ.get("DMT_PACK_SELECT", "einsum") == "slice":
+    if os.environ.get("DMT_PACK_SELECT", "slice") == "slice":
         out = None
         for q in range(p):
             blk = jax.lax.slice_in_dim(grid128, q * dim, (q + 1) * dim,
