@@ -476,13 +476,17 @@ def _make_bwd_kernel(num_heads, scale, rate, train, block, Tp, D, F,
 
 
 def _block_size(B: int) -> int:
-    """Examples per grid program.  32 is the measured sweet spot on v5e at
-    the flagship dims (Tp=56, D=80, F=320): vs 16 it halves the per-program
-    weight reloads and doubles the projection/FF matmul M-dim, 50.3 ->
-    45.5 ms/step; 64 exceeds the 16 MB scoped-VMEM limit (26.8 MB) in the
-    recompute backward.  DMT_BLOCK_NB overrides for other shapes."""
+    """Examples per grid program.  Default 64 since r4 (96.5k -> 99.6k
+    ex/s on the flagship bench): bigger blocks amortize the per-program
+    weight reloads and widen the projection/FF matmul M-dim.  The r2
+    note that 64 exceeds the 16 MB scoped-VMEM limit in the recompute
+    backward holds only under the DEFAULT compiler guard — nb > 32 now
+    raises vmem_limit_bytes (see the pallas_call sites), and the v5e
+    hardware runs it fine (measured r4).  History: 16 -> 32 was 50.3 ->
+    45.5 ms/step (r2).  DMT_BLOCK_NB overrides for other shapes; batches
+    not divisible by the preference fall back 32/16/8/4/2/1."""
     import os
-    pref = int(os.environ.get("DMT_BLOCK_NB", "32"))
+    pref = int(os.environ.get("DMT_BLOCK_NB", "64"))
     for nb in (pref, 32, 16, 8, 4, 2, 1):
         if nb >= 1 and B % nb == 0:
             return nb
