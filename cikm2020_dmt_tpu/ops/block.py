@@ -483,8 +483,10 @@ def _block_size(B: int) -> int:
     backward holds only under the DEFAULT compiler guard — nb > 32 now
     raises vmem_limit_bytes (see the pallas_call sites), and the v5e
     hardware runs it fine (measured r4).  History: 16 -> 32 was 50.3 ->
-    45.5 ms/step (r2).  DMT_BLOCK_NB overrides for other shapes; batches
-    not divisible by the preference fall back 32/16/8/4/2/1."""
+    45.5 ms/step (r2); 128 is a hard ceiling (140.71M scoped VMEM >
+    v5e's 128M physical, compile fails — r4).  DMT_BLOCK_NB overrides
+    for other shapes; batches not divisible by the preference fall back
+    32/16/8/4/2/1."""
     import os
     pref = int(os.environ.get("DMT_BLOCK_NB", "64"))
     for nb in (pref, 32, 16, 8, 4, 2, 1):
