@@ -279,12 +279,13 @@ def _ffln_bwd(g, res, W, pre, acc, cd):
 # ---------------------------------------------------------------------------
 
 
-def _make_fwd_kernel(num_heads, scale, rate, train, block, Tp, D, cd):
+def _make_fwd_kernel(num_heads, scale, rate, train, block, Tp, D, cd,
+                     save=False):
     from jax.experimental import pallas as pl
 
     def kernel(seed_ref, enc_ref, dec_ref, kmr_ref, kmc_ref,
                e_wqkv, e_vecs, e_w1, e_b1, e_w2,
-               d_wqkv, d_vecs, d_w1, d_b1, d_w2, out_ref):
+               d_wqkv, d_vecs, d_w1, d_b1, d_w2, out_ref, *save_refs):
         hm = _head_mask(num_heads, D)
         W = _load_weights(e_wqkv, e_vecs, e_w1, e_b1, e_w2,
                           d_wqkv, d_vecs, d_w1, d_b1, d_w2)
@@ -309,6 +310,16 @@ def _make_fwd_kernel(num_heads, scale, rate, train, block, Tp, D, cd):
         ctx = _attend3(Q, K, V, kmr, kmc, hm, scale=scale, cd=cd, rate=rate,
                        seed_ref=seed_ref, salt=pid, site=SITE_ENC_PROBS,
                        train=train)
+        if save:
+            # DMT_BLOCK_SAVE residuals: Q/K/V in compute dtype (the dots
+            # only ever see cd(Q) — bit-exact), ctx_e in f32 (feeds the
+            # f32 ffln replay).  The backward then skips the encoder
+            # projection + attention replay (VERDICT r3 #2b, measured).
+            qs_ref, ks_ref, vs_ref, ce_ref = save_refs
+            qs_ref[...] = Q.astype(qs_ref.dtype)
+            ks_ref[...] = K.astype(ks_ref.dtype)
+            vs_ref[...] = V.astype(vs_ref.dtype)
+            ce_ref[...] = ctx.astype(ce_ref.dtype)
         H2, _ = _ffln(E0, ctx.reshape(N, D), W, "e_", cd)
 
         # ---- decoder: 1-query cross attention over the encoder state ----
@@ -336,17 +347,26 @@ _W_KEYS = ("wqkv", "bqkv", "ln1g", "ln1b", "ln2g", "ln2b", "b2", "w1",
 
 
 def _make_bwd_kernel(num_heads, scale, rate, train, block, Tp, D, F,
-                     n_programs, cd):
+                     n_programs, cd, save=False):
     from jax.experimental import pallas as pl
 
     def kernel(seed_ref, enc_ref, dec_ref, kmr_ref, kmc_ref,
                e_wqkv, e_vecs, e_w1, e_b1, e_w2,
-               d_wqkv, d_vecs, d_w1, d_b1, d_w2, g_ref,
-               denc_ref, ddec_ref,
-               ge_wqkv, ge_vecs, ge_w1, ge_b1, ge_w2,
-               gd_wqkv, gd_vecs, gd_w1, gd_b1, gd_w2,
-               a_e_wqkv, a_e_vecs, a_e_w1, a_e_b1, a_e_w2,
-               a_d_wqkv, a_d_vecs, a_d_w1, a_d_b1, a_d_w2):
+               d_wqkv, d_vecs, d_w1, d_b1, d_w2, *rest):
+        if save:
+            (qs_ref, ks_ref, vs_ref, ce_ref, g_ref,
+             denc_ref, ddec_ref,
+             ge_wqkv, ge_vecs, ge_w1, ge_b1, ge_w2,
+             gd_wqkv, gd_vecs, gd_w1, gd_b1, gd_w2,
+             a_e_wqkv, a_e_vecs, a_e_w1, a_e_b1, a_e_w2,
+             a_d_wqkv, a_d_vecs, a_d_w1, a_d_b1, a_d_w2) = rest
+        else:
+            (g_ref,
+             denc_ref, ddec_ref,
+             ge_wqkv, ge_vecs, ge_w1, ge_b1, ge_w2,
+             gd_wqkv, gd_vecs, gd_w1, gd_b1, gd_w2,
+             a_e_wqkv, a_e_vecs, a_e_w1, a_e_b1, a_e_w2,
+             a_d_wqkv, a_d_vecs, a_d_w1, a_d_b1, a_d_w2) = rest
         hm = _head_mask(num_heads, D)
         W = _load_weights(e_wqkv, e_vecs, e_w1, e_b1, e_w2,
                           d_wqkv, d_vecs, d_w1, d_b1, d_w2)
@@ -376,12 +396,23 @@ def _make_bwd_kernel(num_heads, scale, rate, train, block, Tp, D, F,
         # ---- replay forward (batched) ----
         wq, wk, wv = (W["e_wqkv"][:, 0 * D:1 * D], W["e_wqkv"][:, 1 * D:2 * D],
                       W["e_wqkv"][:, 2 * D:3 * D])
-        Q = (_dot(E0, wq, cd) + W["e_bqkv"][0:1]).reshape(block, Tp, D)
-        K = (_dot(E0, wk, cd) + W["e_bqkv"][1:2]).reshape(block, Tp, D)
-        V = (_dot(E0, wv, cd) + W["e_bqkv"][2:3]).reshape(block, Tp, D)
-        ctx_e = _attend3(Q, K, V, kmr, kmc, hm, scale=scale, cd=cd,
-                         rate=rate, seed_ref=seed_ref, salt=pid,
-                         site=SITE_ENC_PROBS, train=train)
+        if save:
+            # DMT_BLOCK_SAVE: Q/K/V arrive in compute dtype (every use
+            # below casts to cd anyway — bit-exact vs the replay) and
+            # ctx_e in f32; the projections and the encoder attention
+            # forward are skipped.  The ffln replay stays: its residuals
+            # (h1/xhat/inv/f) are needed by _ffln_bwd regardless.
+            Q = qs_ref[...]
+            K = ks_ref[...]
+            V = vs_ref[...]
+            ctx_e = ce_ref[...].astype(jnp.float32)
+        else:
+            Q = (_dot(E0, wq, cd) + W["e_bqkv"][0:1]).reshape(block, Tp, D)
+            K = (_dot(E0, wk, cd) + W["e_bqkv"][1:2]).reshape(block, Tp, D)
+            V = (_dot(E0, wv, cd) + W["e_bqkv"][2:3]).reshape(block, Tp, D)
+            ctx_e = _attend3(Q, K, V, kmr, kmc, hm, scale=scale, cd=cd,
+                             rate=rate, seed_ref=seed_ref, salt=pid,
+                             site=SITE_ENC_PROBS, train=train)
         H2, eres = _ffln(E0, ctx_e.reshape(N, D), W, "e_", cd)
 
         dwq, dwk, dwv = (W["d_wqkv"][:, 0 * D:1 * D],
@@ -566,7 +597,7 @@ def _wspecs(D, F):
 
 
 def _fwd_call(seed, enc_in, dec_in, kmr, kmc, ew, dw, *, num_heads, scale,
-              rate, train, interpret):
+              rate, train, interpret, save=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -574,7 +605,18 @@ def _fwd_call(seed, enc_in, dec_in, kmr, kmc, ew, dw, *, num_heads, scale,
     nb = _block_size(B)
     F = ew[2].shape[1]
     cd = _compute_dtype(enc_in)
-    kernel = _make_fwd_kernel(num_heads, scale, rate, train, nb, Tp, D, cd)
+    kernel = _make_fwd_kernel(num_heads, scale, rate, train, nb, Tp, D, cd,
+                              save=save)
+    out_specs = pl.BlockSpec((nb, D), lambda b: (b, 0))
+    out_shape = _sds((B, D), enc_in.dtype, enc_in)
+    if save:
+        blk = pl.BlockSpec((nb, Tp, D), lambda b: (b, 0, 0))
+        out_specs = [out_specs, blk, blk, blk, blk]
+        out_shape = [out_shape,
+                     _sds((B, Tp, D), cd, enc_in),       # Q
+                     _sds((B, Tp, D), cd, enc_in),       # K
+                     _sds((B, Tp, D), cd, enc_in),       # V
+                     _sds((B, Tp, D), jnp.float32, enc_in)]  # ctx_e
     return pl.pallas_call(
         kernel,
         grid=(B // nb,),
@@ -585,8 +627,8 @@ def _fwd_call(seed, enc_in, dec_in, kmr, kmc, ew, dw, *, num_heads, scale,
             pl.BlockSpec((nb, 1, Tp), lambda b: (b, 0, 0)),
             pl.BlockSpec((nb, Tp, 1), lambda b: (b, 0, 0)),
         ] + _wspecs(D, F) + _wspecs(D, F),
-        out_specs=pl.BlockSpec((nb, D), lambda b: (b, 0)),
-        out_shape=_sds((B, D), enc_in.dtype, enc_in),
+        out_specs=out_specs,
+        out_shape=out_shape,
         # nb>32 (the DMT_BLOCK_NB A/B — fewer weight reloads, bigger MXU
         # M-dim) needs ~27M scoped VMEM in the fwd; raise the 16M
         # compiler guard only then, so the default nb=32 executable (and
@@ -601,7 +643,7 @@ def _fwd_call(seed, enc_in, dec_in, kmr, kmc, ew, dw, *, num_heads, scale,
 
 
 def _bwd_call(seed, enc_in, dec_in, kmr, kmc, ew, dw, g, *, num_heads,
-              scale, rate, train, interpret):
+              scale, rate, train, interpret, saved=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -610,8 +652,9 @@ def _bwd_call(seed, enc_in, dec_in, kmr, kmc, ew, dw, g, *, num_heads,
     F = ew[2].shape[1]
     cd = _compute_dtype(enc_in)
     n_programs = B // nb
+    save = saved is not None
     kernel = _make_bwd_kernel(num_heads, scale, rate, train, nb, Tp, D, F,
-                              n_programs, cd)
+                              n_programs, cd, save=save)
     # weight grads are computed from the (possibly data-sharded) batch, so
     # under shard_map they vary like the activations; the shard_map
     # transpose psums them into the replicated-weight cotangent
@@ -638,7 +681,9 @@ def _bwd_call(seed, enc_in, dec_in, kmr, kmc, ew, dw, g, *, num_heads,
             pl.BlockSpec((nb, D), lambda b: (b, 0)),
             pl.BlockSpec((nb, 1, Tp), lambda b: (b, 0, 0)),
             pl.BlockSpec((nb, Tp, 1), lambda b: (b, 0, 0)),
-        ] + _wspecs(D, F) + _wspecs(D, F) + [
+        ] + _wspecs(D, F) + _wspecs(D, F) + (
+            [pl.BlockSpec((nb, Tp, D), lambda b: (b, 0, 0))] * 4
+            if save else []) + [
             pl.BlockSpec((nb, D), lambda b: (b, 0)),         # g
         ],
         out_specs=[
@@ -659,7 +704,8 @@ def _bwd_call(seed, enc_in, dec_in, kmr, kmc, ew, dw, g, *, num_heads,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed, enc_in, dec_in, kmr, kmc, *ew, *dw, g)
+    )(seed, enc_in, dec_in, kmr, kmc, *ew, *dw,
+      *(saved if save else ()), g)
     denc, ddec = outs[0], outs[1]
     gew = tuple(outs[2:7])
     gdw = tuple(outs[7:12])
@@ -674,18 +720,36 @@ def _fused_block_op(num_heads, scale, rate, train, interpret,
                      train=train, interpret=interpret)
 
 
+def _save_wanted() -> bool:
+    """DMT_BLOCK_SAVE=1: the forward ALSO emits {Q, K, V (compute dtype),
+    ctx_e (f32)} so the recompute backward skips the encoder projection +
+    attention replay (VERDICT r3 #2b).  Bit-exact either way (the saved
+    values are exactly what the replay feeds the same ops); the trade is
+    ~(3+1)*B*Tp*D bytes of HBM round-trip against the replay compute."""
+    import os
+    return os.environ.get("DMT_BLOCK_SAVE", "0") == "1"
+
+
 def _fused_block_fwd(num_heads, scale, rate, train, interpret,
                      seed, enc_in, dec_in, kmr, kmc, ew, dw):
+    if _save_wanted():
+        out, qs, ks, vs, ce = _fwd_call(
+            seed, enc_in, dec_in, kmr, kmc, ew, dw, num_heads=num_heads,
+            scale=scale, rate=rate, train=train, interpret=interpret,
+            save=True)
+        return out, (seed, enc_in, dec_in, kmr, kmc, ew, dw,
+                     (qs, ks, vs, ce))
     out = _fused_block_op(num_heads, scale, rate, train, interpret,
                           seed, enc_in, dec_in, kmr, kmc, ew, dw)
-    return out, (seed, enc_in, dec_in, kmr, kmc, ew, dw)
+    return out, (seed, enc_in, dec_in, kmr, kmc, ew, dw, None)
 
 
 def _fused_block_bwd(num_heads, scale, rate, train, interpret, res, g):
-    seed, enc_in, dec_in, kmr, kmc, ew, dw = res
+    seed, enc_in, dec_in, kmr, kmc, ew, dw, saved = res
     denc, ddec, gew, gdw = _bwd_call(
         seed, enc_in, dec_in, kmr, kmc, ew, dw, g, num_heads=num_heads,
-        scale=scale, rate=rate, train=train, interpret=interpret)
+        scale=scale, rate=rate, train=train, interpret=interpret,
+        saved=saved)
     gew = tuple(gg.astype(w.dtype) for gg, w in zip(gew, ew))
     gdw = tuple(gg.astype(w.dtype) for gg, w in zip(gdw, dw))
     return None, denc, ddec, None, None, gew, gdw

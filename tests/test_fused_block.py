@@ -123,6 +123,38 @@ class TestFusedBlock:
                 np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-4,
                 err_msg=path)
 
+    def test_save_variant_bit_exact(self, rng):
+        """DMT_BLOCK_SAVE=1 (fwd emits Q/K/V/ctx_e; bwd skips the encoder
+        projection+attention replay) must be BIT-exact vs full recompute:
+        the saved values are exactly what the replay feeds the same ops
+        (Q/K/V stored in compute dtype, ctx_e in f32)."""
+        tc = _tc(dropout_rate=0.2)
+        B, T, D = 8, 50, 80
+        seq, tar, mask = _case(rng, B, T, D, [50, 3, 17, 1, 50, 25, 8, 42])
+        params = transformer_init(jax.random.PRNGKey(7), tc)
+        key = jax.random.key(3, impl="rbg")
+
+        def loss(p):
+            os.environ["DMT_FUSED_BLOCK"] = "1"
+            try:
+                out = encode_decode(p, tc, seq_emb=seq, seq_mask=mask,
+                                    tar_emb=tar, train=True, rng=key)
+            finally:
+                del os.environ["DMT_FUSED_BLOCK"]
+            return jnp.sum(jnp.sin(out))
+
+        res = {}
+        for flag in ("0", "1"):
+            os.environ["DMT_BLOCK_SAVE"] = flag
+            try:
+                res[flag] = jax.value_and_grad(loss)(params)
+            finally:
+                del os.environ["DMT_BLOCK_SAVE"]
+        assert float(res["0"][0]) == float(res["1"][0])
+        for a, b in zip(jax.tree_util.tree_leaves(res["0"][1]),
+                        jax.tree_util.tree_leaves(res["1"][1])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_dropout_semantics(self, rng):
         """In-kernel dropout: deterministic per seed, differs across seeds,
         keeps tf scaling (mean approximately preserved), and backward
