@@ -98,11 +98,15 @@ def main():
                                          indices_are_sorted=True,
                                          unique_indices=True),
           stack, uids_j, rows_s, donate=(0,))
-    jf = bench("dma stack (reshape + update_rows + reshape)",
-               lambda t, i, r: update_rows(
-                   t.reshape(2 * R, D), i, r).reshape(2, R, D),
-               stack, ids2, rows_2u, donate=(0,))
-    txt = jf.lower(stack, ids2, rows_2u).compile().as_text()
+    import jax as _jax
+    f_stack = _jax.jit(lambda t, i, r: update_rows(
+        t.reshape(2 * R, D), i, r).reshape(2, R, D), donate_argnums=(0,))
+    txt = f_stack.lower(_jax.ShapeDtypeStruct((2, R, D), jnp.float32),
+                        ids2, rows_2u).compile().as_text()
+    bench("dma stack (reshape + update_rows + reshape)",
+          lambda t, i, r: update_rows(
+              t.reshape(2 * R, D), i, r).reshape(2, R, D),
+          stack, ids2, rows_2u, donate=(0,))
     ncopy = txt.count(" copy(")
     nbit = txt.count(" bitcast(")
     big = [ln.strip()[:120] for ln in txt.splitlines()
