@@ -7,7 +7,7 @@ MEASURED quantities into an explicit analytic projection:
     measured:  per-step collective bytes of the compiled flagship step,
                by mesh axis (parsed from the GSPMD HLO's replica_groups
                on an 8-virtual-device mesh at production per-chip batch);
-               45.3 ms single-chip step time (bench.py, TPU v5e).
+               39.2 ms single-chip step time (r4 device-op sum, TPU v5e).
     model:     ring all-reduce / all-gather cost on the mesh axis the
                collective actually rides, with public TPU v5e link
                numbers (jax-ml.github.io/scaling-book: ICI ~4.5e10 B/s
@@ -50,7 +50,8 @@ from collective_bytes import shape_bytes  # noqa: E402  (sibling script)
 ICI_BW = 4.5e10          # bytes/s per link per direction
 DCN_BW_HOST = 2.5e10     # bytes/s per host
 CHIPS_PER_HOST = 8
-T_COMPUTE_MS = 45.3      # measured: bench.py flagship step @4096, 1 chip
+T_COMPUTE_MS = 39.2      # measured: r4 shipped step @4096 (device-op sum,
+                         # results/trace_decomposition_r4.txt; was 45.3 in r3)
 
 _OP_RE = re.compile(
     r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(\([^)]*\)|\S+)\s+"
