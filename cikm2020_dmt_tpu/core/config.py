@@ -374,6 +374,15 @@ class DMTConfig:
     # compute_dtype=bfloat16 and table_bf16_threshold=0; A/B via
     # DMT_GRID_BF16 (train/lazy.collect).
     grid_bf16: bool = False
+    # full-mesh tables (parallel/full_shard.py): push the per-row
+    # gradient blocks through the all_to_all in bf16 instead of f32
+    # (receivers segment-sum in f32).  Halves the DCN-dominant exchange
+    # bytes on multi-host meshes — the 128-chip DCN-limited projection
+    # moves from 0.842 back over the 0.85 bar (scaling_analysis) — at
+    # the cost of bf16-rounding each pushed row BEFORE the cross-chip
+    # sum (the same compression bf16 gradient all-reduces apply).  Off
+    # by default: single-host/ICI meshes don't need it.
+    fms_grad_bf16: bool = False
     mesh_data: int = 0   # 0 = auto: all devices not used by the model axis
     mesh_model: int = 1
     # host input pipeline: concurrent batch assemblers (the C++ parse

@@ -315,7 +315,8 @@ def overlay_grid_fms(mesh: Mesh, rows_diff: jnp.ndarray, col) -> jnp.ndarray:
 def fms_adam_update(mesh: Mesh, table: jnp.ndarray, mv: jnp.ndarray,
                     uids: jnp.ndarray, g_rows: jnp.ndarray,
                     count: jnp.ndarray, schedule, b1: float = 0.9,
-                    b2: float = 0.999, eps: float = 1e-8):
+                    b2: float = 0.999, eps: float = 1e-8,
+                    grad_bf16: bool = False):
     """LazyAdam for a full-mesh table: push [U_local, D] grad blocks to
     their owning devices with one all_to_all, segment-sum the received
     contributions, update owned rows locally.  Rows touched by several
@@ -372,6 +373,10 @@ def fms_adam_update(mesh: Mesh, table: jnp.ndarray, mv: jnp.ndarray,
         src = jnp.minimum(bounds[o] + r, Um - 1)
         valid = (r < jnp.minimum(counts[o], C)) & ~dup
         g_send = jnp.where(valid[:, None], jnp.take(g_s, src, axis=0), 0)
+        if grad_bf16:
+            # cfg.fms_grad_bf16: halve the DCN-dominant push bytes; the
+            # receive side still accumulates in f32 (segment_sum below)
+            g_send = g_send.astype(jnp.bfloat16)
 
         req_ids = jax.lax.all_to_all(
             bucketed.reshape(n_dev, C), AXES, 0, 0, tiled=True).reshape(-1)
@@ -387,7 +392,9 @@ def fms_adam_update(mesh: Mesh, table: jnp.ndarray, mv: jnp.ndarray,
         g_sorted = jnp.take(req_g, sidx, axis=0)
         first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
         seg = (jnp.cumsum(first) - 1).astype(jnp.int32)
-        gsum = jax.ops.segment_sum(g_sorted, seg, num_segments=NC)
+        # f32 accumulation even for bf16-pushed grads (grad_bf16)
+        gsum = jax.ops.segment_sum(g_sorted.astype(jnp.float32), seg,
+                                   num_segments=NC)
         uniq_rel = jnp.sort(jnp.where(first, skey, jnp.int32(rows_per_dev)))
         # strictly-unique sentinel tail (scatter hint requirement)
         uniq_rel = jnp.where(uniq_rel >= rows_per_dev,

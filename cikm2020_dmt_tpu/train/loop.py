@@ -143,7 +143,8 @@ def _lazy_step(trainer: "Trainer", tstate: dict, batch: dict, rng):
             tab, mv = fms_adam_update(
                 mesh, params["emb"][t.name],
                 tstate["lazy_opt"][t.name]["mv"], c.uids,
-                g_rows[t.name], count, trainer._schedule)
+                g_rows[t.name], count, trainer._schedule,
+                grad_bf16=trainer.cfg.fms_grad_bf16)
             new_params["emb"][t.name] = tab
             lazy_opt[t.name] = {"mv": mv}
             continue

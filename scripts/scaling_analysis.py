@@ -121,11 +121,13 @@ def collective_rows(hlo: str, mesh_shape: tuple[int, int]):
 
 
 def lower_step(mesh_data: int, mesh_model: int, batch: int,
-               shard_rows_threshold: int = 1 << 62):
+               shard_rows_threshold: int = 1 << 62,
+               fms_grad_bf16: bool = False):
     cfg = g._demo_config(
         sku_rows=1_048_576, cid3_rows=12_000, batch_size=batch,
         mesh_model=mesh_model, mesh_data=mesh_data,
         shard_rows_threshold=shard_rows_threshold,
+        fms_grad_bf16=fms_grad_bf16,
         validate_step=10**9, compute_dtype="bfloat16")
     mesh = build_mesh(cfg, jax.devices()[:mesh_data * mesh_model])
     trainer = Trainer(cfg, mesh=mesh)
@@ -250,14 +252,29 @@ def main() -> None:
         out["fits_mb"] = {f"{a}:{k}": [al / 1e6, be / 1e6]
                           for (a, k), (al, be) in fits.items()}
 
+
     table = []
     print("\n| mesh | chips | hosts | comm ms (ICI) | eff (ICI slice) | "
           "comm ms (+DCN data axis) | eff (DCN) |")
     print("|---|---|---|---|---|---|---|")
     for chips in (8, 16, 32, 64, 128, 256):
         hosts = max(1, chips // CHIPS_PER_HOST)
-        for mesh_name, model_sz, tal, meas_data in (
-                ("dp", 1, tal_dp, 8), ("2d m=4", 4, tal_2d, 2)):
+        # WIRE-DTYPE correction (a2a only): the byte tally reads the
+        # CPU-optimized HLO, whose float-normalization pass upcasts
+        # bf16 collectives to f32 (verified: the pre-optimization
+        # stablehlo carries tensor<...xbf16> for the same all_to_all),
+        # so every a2a leg is counted at f32 width.  On TPU the wire
+        # dtype is real: the row RESPONSE leg is the table dtype (bf16
+        # by default) and the gradient PUSH leg is f32 unless
+        # cfg.fms_grad_bf16.  The two legs are shape-symmetric
+        # ([n_dev*C, D] each; the s32 id legs are ~1.5% of the total),
+        # so: default = 0.75x measured, +fms_grad_bf16 = 0.5x.
+        variants = [("dp", 1, tal_dp, 8, 1.0),
+                    ("2d m=4 (a2a @f32, conservative)", 4, tal_2d, 2, 1.0),
+                    ("2d m=4 bf16 tables", 4, tal_2d, 2, 0.75),
+                    ("2d m=4 +fms_grad_bf16", 4, tal_2d, 2, 0.5)]
+        for mesh_name, model_sz, tal, meas_data, a2a_dtype_factor \
+                in variants:
             data_sz = chips // model_sz
             if data_sz < 1:
                 continue
@@ -272,6 +289,8 @@ def main() -> None:
                 if mesh_name.startswith("2d") and (a, k) in fits:
                     alpha, beta = fits[(a, k)]
                     grown = max(0.0, alpha + beta * data_sz)
+                    if k != "all-reduce":
+                        grown *= a2a_dtype_factor
                 else:
                     scale = data_sz / meas_data
                     grown = v * scale

@@ -533,6 +533,34 @@ class TestFullMeshLazy:
         spec = psh["emb"]["Sku"].spec
         assert tuple(spec) == (("data", "model"), None), spec
 
+    def test_fms_grad_bf16_close_to_f32(self):
+        """cfg.fms_grad_bf16 (bf16 gradient push over the all_to_all,
+        f32 accumulation after receive — the multi-host DCN knob) must
+        track the f32 push closely: forward identical, post-step tables
+        within bf16-compression tolerance."""
+        batch = g.synthetic_batch(g._demo_config(**self.FKW), 64)
+        results = {}
+        for flag in (False, True):
+            cfg = g._demo_config(mesh_data=2, mesh_model=4,
+                                 fms_grad_bf16=flag, **self.FKW)
+            tr = Trainer(cfg, mesh=self._mesh(2, 4))
+            assert any(t.full_mesh for t in tr.lazy_plan)
+            ts = tr.shard_state(tr.init_state())
+            step = tr._train_step()
+            b = tr.device_batch(g._as_batch(batch))
+            ts, _, loss = step(ts, task_metrics_init(), b,
+                               jax.random.fold_in(jax.random.key(
+                                   0, impl="rbg"), 0))
+            results[flag] = (float(loss),
+                             np.asarray(ts["params"]["emb"]["Sku"],
+                                        np.float32))
+        # forward path is untouched by the push dtype
+        assert results[False][0] == results[True][0]
+        # first Adam step is ~sign(g)*lr per element, so bf16-rounding
+        # the pushed grads barely moves the updated rows
+        np.testing.assert_allclose(results[True][1], results[False][1],
+                                   atol=2e-3)
+
     @pytest.mark.parametrize("data,model", [(2, 4), (4, 2), (8, 1)])
     def test_matches_single_device_lazy(self, data, model):
         batch = g.synthetic_batch(g._demo_config(**self.FKW), 64)
