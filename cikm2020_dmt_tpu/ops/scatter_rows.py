@@ -142,8 +142,12 @@ def update_rows(table: jnp.ndarray, ids: jnp.ndarray, rows: jnp.ndarray,
     # the array dims (Pallas TPU block-shape constraint)
     ids = ids.reshape(npad // chunk, 1, chunk)
 
+    # DMT_DMA_NSLOTS: in-flight row-DMA depth (A/B; 8 = shipped default,
+    # measured vs 16/32 standalone in verify_update_rows_tpu.py)
+    import os
+    nslots = int(os.environ.get("DMT_DMA_NSLOTS", "8"))
     kernel = functools.partial(_update_rows_kernel, chunk=chunk,
-                               num_rows=num_rows)
+                               num_rows=num_rows, nslots=nslots)
 
     return pl.pallas_call(
         kernel,
