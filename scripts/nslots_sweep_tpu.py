@@ -2,10 +2,11 @@
 
 One process, all variants: update_rows reads the env var at TRACE time,
 so setting os.environ between jit instantiations gives each variant its
-own kernel without re-claiming the chip.  Shapes = the production lazy
-write-back: Sku-scale table (R=1.25M), U=36,352 touched rows, D=128
-(the [2R,128] flat moment layout and bf16 128-lane table rows are both
-exactly this shape per the r4 DMA law — 32-bit dtype at 128 lanes).
+own kernel without re-claiming the chip.  Shapes: Sku-scale table
+(R=1.25M), U=36,352 touched rows, D=128 — production-REPRESENTATIVE
+(same 32-bit dtype / 128-lane layout as the [2R,128] flat moment
+write-back, which is R=2.5M with 2U rows/step; per-row DMA cost is
+per-row, so depth conclusions transfer).
 
 Prints one JSON line per (dtype, nslots) cell.
 """
@@ -32,7 +33,10 @@ D = 128
 
 def bench_one(dt, nslots, rng):
     os.environ["DMT_DMA_NSLOTS"] = str(nslots)
-    # import inside so each call traces with the current env value
+    # update_rows reads DMT_DMA_NSLOTS at TRACE time; the fresh jax.jit
+    # below forces a retrace per cell.  (A module-level-read flag would
+    # NOT be swept this way -- the module import is cached -- that's the
+    # r3 dead-flag artifact class.)
     from cikm2020_dmt_tpu.ops.scatter_rows import update_rows
 
     nreal = int(U * 0.4)
