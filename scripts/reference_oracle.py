@@ -134,11 +134,36 @@ def install_shim():
     return tf
 
 
-def write_conf(steps: int, batch: int) -> None:
+def write_conf(steps: int, batch: int, holdout: bool = False) -> None:
     """Patch the reference's own dmt.conf for the demo shards (runtime
-    artifact under out/, never committed)."""
+    artifact under out/, never committed).
+
+    holdout=True: train on shard part-r-00000 ONLY, test on part-r-00001
+    — a real generalization split instead of the train==test memorization
+    runs.  recsys_conf.py forces a trailing '/' onto every data path (and
+    tfrecord_mask.py:101 then appends '*'), so per-shard selection needs
+    real DIRECTORIES: out/ gets holdout_{train,test}/ dirs holding one
+    symlink each into the read-only demo tree."""
     src = open(os.path.join(REF, "conf/settings/dmt.conf")).read()
     demo = "/root/reference/jd_recsys_demo"
+    data = f"{demo}/*/test_ord/*/data/"
+    if holdout:
+        import glob as globlib
+        shards = sorted(globlib.glob(data + "part-r-*"))
+        assert len(shards) == 2, shards
+
+        def link_dir(name: str, shard: str) -> str:
+            d = os.path.join(OUT, name)
+            os.makedirs(d, exist_ok=True)
+            link = os.path.join(d, os.path.basename(shard))
+            if not os.path.islink(link):
+                os.symlink(shard, link)
+            return d + "/"
+
+        train_p = link_dir("holdout_train", shards[0])
+        test_p = link_dir("holdout_test", shards[1])
+    else:
+        train_p = test_p = data
     for pat, rep in [
         (r"gpu_visible = 0,1,2,3", "gpu_visible = 0"),
         (r"batch_size = 2048", f"batch_size = {batch}"),
@@ -152,17 +177,17 @@ def write_conf(steps: int, batch: int) -> None:
         (r"output_path = .*", f"output_path = {OUT}/"),
         (r"summary_path = .*", f"summary_path = {OUT}/summary/"),
         (r"train_data_path = .*",
-         f"train_data_path = {demo}/*/test_ord/*/data/"),
+         f"train_data_path = {train_p}"),
         (r"train_data_mean_path = .*",
          f"train_data_mean_path = {demo}/stat/mean/part-00000"),
         (r"train_data_stat_path = .*", "train_data_stat_path = "),
         (r"train_data_std_path = .*",
          f"train_data_std_path = {demo}/stat/std/part-00000"),
         (r"validation_data_path = .*",
-         f"validation_data_path = {demo}/*/test_ord/*/data/"),
-        (r"test_data_path = .*", f"test_data_path = {demo}/*/test_ord/*/data/"),
+         f"validation_data_path = {train_p}"),
+        (r"test_data_path = .*", f"test_data_path = {test_p}"),
         (r"test_data_path_ord = .*",
-         f"test_data_path_ord = {demo}/*/test_ord/*/data/"),
+         f"test_data_path_ord = {test_p}"),
     ]:
         src = re.sub(pat, rep, src)
     os.makedirs(OUT, exist_ok=True)
@@ -284,12 +309,14 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--smoke", action="store_true",
                     help="3 steps, tiny batch — plumbing check only")
+    ap.add_argument("--holdout", action="store_true",
+                    help="train on part-r-00000 only, test on part-r-00001")
     args = ap.parse_args(argv)
     if args.smoke:
         args.steps, args.batch = 3, 64
 
     tf = install_shim()
-    write_conf(args.steps, args.batch)
+    write_conf(args.steps, args.batch, holdout=args.holdout)
     log_path = os.path.join(OUT, "oracle.log")
     with open(log_path, "w") as log:
         print(f"training reference {args.steps} steps @ batch {args.batch} "
@@ -301,6 +328,7 @@ def main(argv=None):
     res["train_seconds"] = round(train_s, 1)
     res["train_examples_per_s"] = round(args.steps * args.batch / train_s, 1)
     res["steps"], res["batch"] = args.steps, args.batch
+    res["holdout"] = args.holdout
     with open(os.path.join(OUT, "oracle_results.json"), "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res))
