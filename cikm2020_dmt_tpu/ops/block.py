@@ -88,6 +88,36 @@ def _drop_mask(shape, rate: float, seed_ref, salt, site: int):
     return jnp.where(keep, 1.0 / keep_prob, 0.0)
 
 
+# Examples per dropout-mask PRNG draw.  Seeding each _CHUNK-example slice
+# by its GLOBAL chunk index (pid * nb/_CHUNK + j) makes the mask stream
+# invariant to the kernel block size for any nb that is a multiple of
+# _CHUNK — which is what lets the backward kernel replay the forward's
+# masks while running a DIFFERENT nb (DMT_BLOCK_NB_BWD: the two kernels
+# have different VMEM envelopes, so their optimal block sizes differ).
+_CHUNK = 16
+
+
+def _drop_mask_ex(shape, rate: float, seed_ref, pid, nb: int, site: int,
+                  rows_per_ex: int = 1):
+    """Example-chunked dropout mask for a [nb * rows_per_ex, ...] block.
+
+    ``shape``'s leading dim must be nb * rows_per_ex with rows laid out
+    example-major (true for every call site: E0/D0 are (nb*Tp, D) /
+    (nb, D) reshapes of example-major blocks, attention probs are
+    (nb, Tq, Tk)).  nb not a multiple of _CHUNK falls back to one
+    per-program draw — the legacy stream — and _block_size_bwd then
+    forces the backward nb to match the forward's."""
+    if nb % _CHUNK:
+        return _drop_mask(shape, rate, seed_ref, pid, site)
+    n_chunks = nb // _CHUNK
+    rows = _CHUNK * rows_per_ex
+    chunk_shape = (rows,) + tuple(shape[1:])
+    parts = [_drop_mask(chunk_shape, rate, seed_ref,
+                        pid * n_chunks + j, site)
+             for j in range(n_chunks)]
+    return parts[0] if n_chunks == 1 else jnp.concatenate(parts, axis=0)
+
+
 def _ln(x, gamma, beta):
     """Reference ln (TransformerModel_util.py:58-78), f32 statistics."""
     mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -197,8 +227,8 @@ def _attend3(Q, K, V, kmr, kmc, hm, *, scale, cd, rate, seed_ref, salt,
         if kmc is not None:
             p = p * kmc
         if train and rate > 0.0:
-            p = p * _drop_mask(p.shape, rate, seed_ref, salt,
-                               site * 16 + h)
+            p = p * _drop_mask_ex(p.shape, rate, seed_ref, salt,
+                                  p.shape[0], site * 16 + h)
         ctx = ctx + _bdot(p, V * mh, ((2,), (1,)), cd)
     return ctx
 
@@ -223,7 +253,8 @@ def _attend3_bwd(g_ctx, Q, K, V, kmr, kmc, hm, *, scale, cd, rate, seed_ref,
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         p0 = e / jnp.sum(e, axis=-1, keepdims=True)
-        dm = (_drop_mask(p0.shape, rate, seed_ref, salt, site * 16 + h)
+        dm = (_drop_mask_ex(p0.shape, rate, seed_ref, salt, p0.shape[0],
+                            site * 16 + h)
               if train and rate > 0.0 else None)
         pq = p0 * kmc if kmc is not None else p0
         pd = pq * dm if dm is not None else pq
@@ -297,9 +328,10 @@ def _make_fwd_kernel(num_heads, scale, rate, train, block, Tp, D, cd,
         kmr = kmr_ref[...]                                   # [nb, 1, Tp]
         kmc = kmc_ref[...]                                   # [nb, Tp, 1]
         if train and rate > 0.0:
-            E0 = E0 * _drop_mask((N, D), rate, seed_ref, pid, SITE_ENC_IN)
-            D0 = D0 * _drop_mask((block, D), rate, seed_ref, pid,
-                                 SITE_DEC_IN)
+            E0 = E0 * _drop_mask_ex((N, D), rate, seed_ref, pid, block,
+                                    SITE_ENC_IN, rows_per_ex=Tp)
+            D0 = D0 * _drop_mask_ex((block, D), rate, seed_ref, pid,
+                                    block, SITE_DEC_IN)
 
         # ---- encoder: batched projections + batched masked MHA ----
         wq, wk, wv = (W["e_wqkv"][:, 0 * D:1 * D], W["e_wqkv"][:, 1 * D:2 * D],
@@ -384,8 +416,10 @@ def _make_bwd_kernel(num_heads, scale, rate, train, block, Tp, D, F,
         kmr = kmr_ref[...]
         kmc = kmc_ref[...]
         if train and rate > 0.0:
-            dm_e = _drop_mask((N, D), rate, seed_ref, pid, SITE_ENC_IN)
-            dm_d = _drop_mask((block, D), rate, seed_ref, pid, SITE_DEC_IN)
+            dm_e = _drop_mask_ex((N, D), rate, seed_ref, pid, block,
+                                 SITE_ENC_IN, rows_per_ex=Tp)
+            dm_d = _drop_mask_ex((block, D), rate, seed_ref, pid, block,
+                                 SITE_DEC_IN)
             E0 = E_in * dm_e
             D0 = D_in * dm_d
         else:
@@ -526,6 +560,25 @@ def _block_size(B: int) -> int:
     return 1
 
 
+def _block_size_bwd(B: int) -> int:
+    """Backward-kernel block size (VERDICT r4 #1: the bwd VMEM envelope
+    differs from the fwd's — replay + grad accumulators — so its optimal
+    nb may too).  DMT_BLOCK_NB_BWD overrides; default follows the
+    forward.  The override only applies when both sizes are multiples of
+    _CHUNK (the example-chunked PRNG seeding that makes dropout masks
+    nb-invariant) and divide B; otherwise the backward must mirror the
+    forward exactly."""
+    import os
+    fwd = _block_size(B)
+    v = os.environ.get("DMT_BLOCK_NB_BWD", "")
+    if not v:
+        return fwd
+    nb = int(v)
+    if nb % _CHUNK or fwd % _CHUNK or B % nb:
+        return fwd
+    return nb
+
+
 def _pack_weights(p):
     """nn.transformer block params -> (wqkv [D,3D], vecs [8,D], w1, b1 [1,F],
     w2) in the kernel's layout."""
@@ -648,7 +701,7 @@ def _bwd_call(seed, enc_in, dec_in, kmr, kmc, ew, dw, g, *, num_heads,
     from jax.experimental.pallas import tpu as pltpu
 
     B, Tp, D = enc_in.shape
-    nb = _block_size(B)
+    nb = _block_size_bwd(B)
     F = ew[2].shape[1]
     cd = _compute_dtype(enc_in)
     n_programs = B // nb

@@ -51,6 +51,11 @@ def run_ours(seed: int, steps: int) -> dict:
         summary_path=os.path.join(out_dir, "summary/"),
         seed=seed,
         max_iter_step=steps,
+        # demo epoch_num (~87) only yields `steps` batches over BOTH
+        # shards; with half the data the stream exhausts at steps/2
+        # (first run trained 93/185).  The oracle side pins epoch_num
+        # = 1000 for the same reason — pin high so max_iter_step binds.
+        epoch_num=10**6,
         validate_step=10**9,
         train_data_path=TRAIN_SHARD,
         validation_data_path=TRAIN_SHARD,

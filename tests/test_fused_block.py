@@ -155,6 +155,48 @@ class TestFusedBlock:
                         jax.tree_util.tree_leaves(res["1"][1])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_bwd_block_size_override(self, rng):
+        """DMT_BLOCK_NB_BWD: the backward kernel may run a different
+        block size than the forward (different VMEM envelopes).  With
+        dropout off the gradients must be bit-identical to the default
+        split; the dropout-active mask invariance (example-chunked PRNG
+        seeding) is hardware-verified in scripts/block_nb_sweep_tpu.py
+        because the Mosaic CPU interpreter's PRNG returns constant
+        bits."""
+        tc = _tc()
+        B, T, D = 64, 50, 80
+        lens = list(1 + (np.arange(B) * 11) % 50)
+        seq, tar, mask = _case(rng, B, T, D, lens)
+        params = transformer_init(jax.random.PRNGKey(9), tc)
+        tgt = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+
+        def loss(params, seq, tar):
+            os.environ["DMT_FUSED_BLOCK"] = "1"
+            try:
+                out = encode_decode(params, tc, seq_emb=seq, seq_mask=mask,
+                                    tar_emb=tar, train=False)
+            finally:
+                del os.environ["DMT_FUSED_BLOCK"]
+            return jnp.sum((out - tgt) ** 2)
+
+        grads = {}
+        for nb_bwd in ("", "16", "32"):
+            os.environ["DMT_BLOCK_NB_BWD"] = nb_bwd
+            try:
+                grads[nb_bwd] = jax.grad(loss, argnums=(0, 1, 2))(
+                    params, seq, tar)
+            finally:
+                del os.environ["DMT_BLOCK_NB_BWD"]
+        for nb_bwd in ("16", "32"):
+            # not bit-exact: the [nb*Tp, D] dot M-dim changes with the
+            # block size and the matmul backend's blocking with it
+            # (measured ~1e-6 max abs on CPU interpret); weight grads
+            # additionally sum per-block partials in a different order
+            for a, b in zip(jax.tree_util.tree_leaves(grads[""]),
+                            jax.tree_util.tree_leaves(grads[nb_bwd])):
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                           rtol=2e-3, atol=1e-4)
+
     def test_dropout_semantics(self, rng):
         """In-kernel dropout: deterministic per seed, differs across seeds,
         keeps tf scaling (mean approximately preserved), and backward
