@@ -222,6 +222,93 @@ def main() -> None:
         vs = round(p50_e2e / p50, 2)  # relay-transfer multiple on axon
         eager_note = "eager skipped (remote relay)"
 
+    # ---- concurrency curve (VERDICT r4 #3) -------------------------------
+    # Closed-loop client threads, two serving modes:
+    #   direct - each stream dispatches its own score_async per request
+    #            (one launch per request; r4's single-stream 239 req/s)
+    #   queue  - all streams share a ScorerQueue (adaptive micro-batching:
+    #            whatever is waiting merges into one grouped launch)
+    # Reported per cell: sustained req/s + per-request p50/p99 wall.
+    curve = []
+    if os.environ.get("DMT_SERVE_CURVE", "1") == "1":
+        import threading
+
+        from cikm2020_dmt_tpu.serve.queue import ScorerQueue
+
+        n_reqs = 16
+        host_reqs = []
+        for _ in range(n_reqs):
+            idv, rw = build_raw_request(rng, B)
+            host_reqs.append(prep.assemble(B, id_values=idv,
+                                           raw_features=rw,
+                                           tile_uside=False))
+
+        def run_cell(mode: str, streams: int, per_stream: int):
+            lats: list[list[float]] = [[] for _ in range(streams)]
+            if mode == "queue":
+                q = ScorerQueue(scorer, max_group=8, groups=(1, 2, 4, 8))
+                q.warmup(host_reqs[0])
+
+                def worker(s):
+                    for i in range(per_stream):
+                        t0 = time.perf_counter()
+                        fut = q.submit(host_reqs[(s + i) % n_reqs])
+                        np.asarray(fut.result()["Scores"])
+                        lats[s].append((time.perf_counter() - t0) * 1e3)
+            else:
+                jax.block_until_ready(
+                    scorer.score_async(host_reqs[0])["Scores"])
+
+                def worker(s):
+                    for i in range(per_stream):
+                        t0 = time.perf_counter()
+                        out = scorer.score_async(host_reqs[(s + i) % n_reqs])
+                        np.asarray(out["Scores"])
+                        lats[s].append((time.perf_counter() - t0) * 1e3)
+
+            threads = [threading.Thread(target=worker, args=(s,))
+                       for s in range(streams)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            if mode == "queue":
+                q.close()
+            flat = np.asarray([x for ls in lats for x in ls])
+            row = {"mode": mode, "streams": streams,
+                   "requests": streams * per_stream,
+                   "req_s": round(streams * per_stream / wall, 1),
+                   "p50_ms": round(float(np.percentile(flat, 50)), 2),
+                   "p99_ms": round(float(np.percentile(flat, 99)), 2)}
+            print(f"# curve {row}", flush=True)
+            return row
+
+        on_cpu = jax.default_backend() == "cpu"
+        for streams in ((1, 4) if on_cpu else (1, 4, 16, 64)):
+            # CPU cells are a plumbing smoke (the CPU scorer is ~50 ms/req)
+            per_stream = (max(3, 8 // streams) if on_cpu
+                          else max(8, 256 // streams))
+            for mode in ("direct", "queue"):
+                curve.append(run_cell(mode, streams, per_stream))
+        out_path = os.path.join(os.path.dirname(__file__), "results",
+                                "bench_serve_r5.json")
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump({
+                "what": (f"serving concurrency curve, {B}-candidate "
+                         "requests, closed-loop streams; device bound = "
+                         "profiler op-sum per request"),
+                "backend": jax.default_backend(),
+                "device_ms_per_request": (round(t_dev_op, 2)
+                                          if t_dev_op is not None else None),
+                "device_bound_req_s": (round(1000.0 / t_dev_op, 1)
+                                       if t_dev_op else None),
+                "single_stream_pipelined_req_s": round(qps, 1),
+                "curve": curve,
+            }, f, indent=1)
+
     print(f"# export={export_dir} backend={jax.default_backend()}",
           flush=True)
     dev_note = (f"device-op time {t_dev_op:.2f} ms/request | "

@@ -1,0 +1,113 @@
+"""Micro-batching scorer queue: concurrent rerank requests share device
+launches.
+
+The reference serves one TF SavedModel session per request
+(reference saved_model/export_model.py:109-115 — the Scores signature
+this queue preserves).  On TPU the per-request device compute is ~1.4 ms
+while a single-stream dispatch loop measures only ~240 req/s (r4): the
+bottleneck is per-launch overhead, not the chip.  ``ScorerQueue``
+drains whatever requests are waiting (up to ``max_group``) into ONE
+``Scorer.score_group_async`` launch, so under concurrent load the
+launch overhead amortizes across the group while a lone request still
+dispatches immediately — latency is never traded for idle batching
+windows (no artificial wait: the group is whatever the queue holds when
+the dispatcher loops).
+
+Usage:
+    q = ScorerQueue(scorer)
+    fut = q.submit(batch_dict)        # batch from assemble(tile_uside=False)
+    scores = fut.result()             # {"Scores": np[B], ...}
+    q.close()
+"""
+
+from __future__ import annotations
+
+import queue as queuelib
+import threading
+from concurrent.futures import Future
+
+import jax
+
+
+class ScorerQueue:
+    """Adaptive micro-batching front-end over ``serve.export.Scorer``.
+
+    Requests must share one candidate count (pad thin candidate sets on
+    the client; production rerank windows are fixed-size).  ``groups``
+    lists the compiled group sizes; a drained group pads up to the next
+    size by repeating the last request (padded rows are scored and
+    discarded — cheaper than a fresh executable per arity).
+    """
+
+    def __init__(self, scorer, max_group: int = 8,
+                 groups: tuple[int, ...] = (1, 2, 4, 8)):
+        assert max_group in groups, (max_group, groups)
+        self.scorer = scorer
+        self.groups = tuple(sorted(groups))
+        self.max_group = max_group
+        self._q: queuelib.Queue = queuelib.Queue()
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="dmt-scorer-queue")
+        self._thread.start()
+
+    def warmup(self, example_batch: dict) -> None:
+        """Compile every group-size executable up front (serving must not
+        pay a compile on the first burst)."""
+        for g in self.groups:
+            out = self.scorer.score_group_async([example_batch] * g)
+            jax.block_until_ready(out["Scores"])
+
+    def submit(self, batch: dict) -> Future:
+        """Queue one request; resolves to {"Scores": np[B], ...}."""
+        assert not self._closed, "queue closed"
+        fut: Future = Future()
+        self._q.put((batch, fut))
+        return fut
+
+    def close(self) -> None:
+        self._closed = True
+        self._q.put(None)
+        self._thread.join()
+
+    # ------------------------------------------------------------------
+
+    def _next_group_size(self, n: int) -> int:
+        for g in self.groups:
+            if g >= n:
+                return g
+        return self.max_group
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            group = [item]
+            while len(group) < self.max_group:
+                try:
+                    nxt = self._q.get_nowait()
+                except queuelib.Empty:
+                    break
+                if nxt is None:
+                    self._q.put(None)  # re-queue the shutdown marker
+                    break
+                group.append(nxt)
+            batches = [b for b, _ in group]
+            g = self._next_group_size(len(batches))
+            padded = batches + [batches[-1]] * (g - len(batches))
+            try:
+                out = self.scorer.score_group_async(padded)
+                # device-side slices only: the dispatcher must NOT block
+                # on device completion or host transfer, or launches stop
+                # pipelining.  shape[0] is static metadata (no sync);
+                # clients np.asarray their own small [B] slices.
+                per = out["Scores"].shape[0] // g
+                for i, (_, fut) in enumerate(group):
+                    sl = {k: v[i * per:(i + 1) * per]
+                          for k, v in out.items()}
+                    fut.set_result(sl)
+            except Exception as e:  # noqa: BLE001 — propagate per-request
+                for _, fut in group:
+                    if not fut.done():
+                        fut.set_exception(e)

@@ -175,6 +175,41 @@ class TestExportRoundtrip:
         np.testing.assert_allclose(np.asarray(out3["Scores"]),
                                    out["Scores"], rtol=1e-6)
 
+        # grouped multi-user scoring: two DIFFERENT requests in one
+        # launch must reproduce their per-request scores exactly (the
+        # in-graph u-side repeat must stay per-request, not leak across)
+        ids2 = dict(batch_ids)
+        ids2["clk_seq_sku_7d_50"] = [b"48221645792", b"34560285023"]
+        ids2["item_fea_sku"] = [b"9", b"8", b"7", b"6"]
+        raw2 = np.abs(np.random.default_rng(1).normal(
+            size=(B, 615))).astype(np.float32)
+        untiled2 = prep.assemble(B, id_values=ids2, raw_features=raw2,
+                                 tile_uside=False)
+        single2 = scorer(untiled2)
+        g = scorer.score_group_async([untiled, untiled2])
+        gs = np.asarray(g["Scores"])
+        assert gs.shape == (2 * B,)
+        np.testing.assert_allclose(gs[:B], out["Scores"], rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(gs[B:], single2["Scores"], rtol=1e-5,
+                                   atol=1e-6)
+
+        # micro-batching queue: concurrent submits resolve to their own
+        # request's scores (including the padded-group path)
+        from cikm2020_dmt_tpu.serve.queue import ScorerQueue
+        q = ScorerQueue(scorer, max_group=4, groups=(1, 2, 4))
+        q.warmup(untiled)
+        futs = [q.submit(untiled), q.submit(untiled2), q.submit(untiled)]
+        res = [{k: np.asarray(v) for k, v in f.result(timeout=120).items()}
+               for f in futs]
+        q.close()
+        np.testing.assert_allclose(res[0]["Scores"], out["Scores"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(res[1]["Scores"], single2["Scores"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(res[2]["Scores"], out["Scores"],
+                                   rtol=1e-5, atol=1e-6)
+
 
 class TestInt8Quantization:
     def test_quantize_roundtrip_error_bound(self):
