@@ -42,8 +42,15 @@ RUNGS = {
     5: "conf/dmt_demo.conf",
 }
 
+# Paper-baseline rungs (BASELINE.md Table 1 / reference
+# model/inference_mlp.py:27-54): same demo chain and budget as rung 3
+# (clk-seq single-task CTR), only the model head differs.  Keyed by
+# model name; run with --rungs lr,wnd,dcn,din,dien.
+BASELINE_RUNGS = ("lr", "wnd", "dcn", "din", "dien")
 
-def run_rung(rung: int, conf: str, steps: int | None, seed: int) -> dict:
+
+def run_rung(rung, conf: str, steps: int | None, seed: int,
+             model_type: str | None = None) -> dict:
     from cikm2020_dmt_tpu.core.config import DMTConfig
     from cikm2020_dmt_tpu.train.evaluate import predict
     from cikm2020_dmt_tpu.train.loop import Trainer
@@ -53,6 +60,8 @@ def run_rung(rung: int, conf: str, steps: int | None, seed: int) -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     overrides = dict(output_path=out_dir, seed=seed,
                      summary_path=os.path.join(out_dir, "summary/"))
+    if model_type:
+        overrides["model_type"] = model_type
     if steps:
         overrides["max_iter_step"] = steps
     cfg = dataclasses.replace(cfg, **overrides)
@@ -93,9 +102,18 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     rows = []
-    for rung in [int(r) for r in args.rungs.split(",")]:
-        print(f"=== rung {rung}: {RUNGS[rung]} ===", flush=True)
-        row = run_rung(rung, RUNGS[rung], args.steps or None, args.seed)
+    for r in args.rungs.split(","):
+        r = r.strip()
+        if r.isdigit():
+            rung, conf, mt = int(r), RUNGS[int(r)], None
+        else:
+            assert r in BASELINE_RUNGS, r
+            # baselines reuse the rung-3 chain (clk-seq single-task CTR)
+            rung, conf, mt = r, RUNGS[3], r
+        print(f"=== rung {rung}: {conf}"
+              f"{' model_type=' + mt if mt else ''} ===", flush=True)
+        row = run_rung(rung, conf, args.steps or None, args.seed,
+                       model_type=mt)
         print(json.dumps(row), flush=True)
         rows.append(row)
 
