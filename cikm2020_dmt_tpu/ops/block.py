@@ -104,10 +104,15 @@ def _drop_mask_ex(shape, rate: float, seed_ref, pid, nb: int, site: int,
     ``shape``'s leading dim must be nb * rows_per_ex with rows laid out
     example-major (true for every call site: E0/D0 are (nb*Tp, D) /
     (nb, D) reshapes of example-major blocks, attention probs are
-    (nb, Tq, Tk)).  nb not a multiple of _CHUNK falls back to one
-    per-program draw — the legacy stream — and _block_size_bwd then
-    forces the backward nb to match the forward's."""
-    if nb % _CHUNK:
+    (nb, Tq, Tk)).  Chunking only engages while DMT_BLOCK_NB_BWD is set
+    (read at trace time, so fwd and bwd kernels of one program agree):
+    the extra per-chunk reseeds measured +0.56 ms/step on the default
+    path (r5 trace, fwd 3.69->4.00 + bwd 8.78->9.03), and the default
+    path doesn't need nb-invariance.  nb not a multiple of _CHUNK also
+    falls back to one per-program draw — and _block_size_bwd then forces
+    the backward nb to match the forward's."""
+    import os
+    if "DMT_BLOCK_NB_BWD" not in os.environ or nb % _CHUNK:
         return _drop_mask(shape, rate, seed_ref, pid, site)
     n_chunks = nb // _CHUNK
     rows = _CHUNK * rows_per_ex

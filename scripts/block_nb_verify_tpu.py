@@ -36,6 +36,10 @@ from cikm2020_dmt_tpu.nn.transformer import transformer_init
 
 
 def main() -> None:
+    # chunked seeding engages only while DMT_BLOCK_NB_BWD is present
+    # (the default path keeps the cheaper legacy stream); presence with
+    # an empty value means "chunked masks, default bwd size"
+    os.environ.setdefault("DMT_BLOCK_NB_BWD", "")
     print("backend:", jax.default_backend(), flush=True)
     rng = np.random.default_rng(0)
     B, T, D = 64, 50, 80
