@@ -43,12 +43,14 @@ def main() -> None:
                          validate_step=10**9,
                          compute_dtype=os.environ.get("DMT_BENCH_DTYPE",
                                                       "bfloat16"),
-                         # bf16 big tables are the config default since
-                         # the r3 A/B (83.1k -> 89.4k ex/s); the env hook
-                         # remains for A/Bs: DMT_TABLE_BF16_ROWS=0 = f32
+                         # bf16 tables are the config default (big since
+                         # r3: 83.1k -> 89.4k; ALL >=500-row tables since
+                         # r5: 39.8 -> 36.8 ms device); the env hook
+                         # remains for A/Bs: DMT_TABLE_BF16_ROWS=0 = f32,
+                         # =1000000 = the r3/r4 big-tables-only default
                          table_bf16_threshold=int(
                              os.environ.get("DMT_TABLE_BF16_ROWS",
-                                            "1000000")),
+                                            "500")),
                          # r4 A/B: bf16 cotangents for the small-table
                          # one-hot backward dots (~2.2 ms f32 in traces)
                          onehot_bwd_bf16=(os.environ.get(

@@ -242,27 +242,34 @@ def main() -> None:
             host_reqs.append(prep.assemble(B, id_values=idv,
                                            raw_features=rw,
                                            tile_uside=False))
+        # device-staged copies: what a PCIe host (or a serving tier that
+        # overlaps transfer) sees — the chip-side ceiling, with the
+        # tunneled relay's per-leaf host->device cost taken out
+        dev_reqs = [jax.device_put(r) for r in host_reqs]
+        jax.block_until_ready([list(r.values()) for r in dev_reqs])
 
         def run_cell(mode: str, streams: int, per_stream: int):
+            reqs = dev_reqs if mode.startswith("dev_") else host_reqs
+            kind = mode.split("_", 1)[1] if "_" in mode else mode
             lats: list[list[float]] = [[] for _ in range(streams)]
-            if mode == "queue":
+            if kind == "queue":
                 q = ScorerQueue(scorer, max_group=8, groups=(1, 2, 4, 8))
-                q.warmup(host_reqs[0])
+                q.warmup(reqs[0])
 
                 def worker(s):
                     for i in range(per_stream):
                         t0 = time.perf_counter()
-                        fut = q.submit(host_reqs[(s + i) % n_reqs])
+                        fut = q.submit(reqs[(s + i) % n_reqs])
                         np.asarray(fut.result()["Scores"])
                         lats[s].append((time.perf_counter() - t0) * 1e3)
             else:
                 jax.block_until_ready(
-                    scorer.score_async(host_reqs[0])["Scores"])
+                    scorer.score_async(reqs[0])["Scores"])
 
                 def worker(s):
                     for i in range(per_stream):
                         t0 = time.perf_counter()
-                        out = scorer.score_async(host_reqs[(s + i) % n_reqs])
+                        out = scorer.score_async(reqs[(s + i) % n_reqs])
                         np.asarray(out["Scores"])
                         lats[s].append((time.perf_counter() - t0) * 1e3)
 
@@ -290,7 +297,13 @@ def main() -> None:
             # CPU cells are a plumbing smoke (the CPU scorer is ~50 ms/req)
             per_stream = (max(3, 8 // streams) if on_cpu
                           else max(8, 256 // streams))
-            for mode in ("direct", "queue"):
+            # host_* pays a per-request host->device transfer (on this
+            # container: the tunneled relay, ~70+ ms — it IS the curve);
+            # dev_* starts from device-staged requests = the chip-side
+            # serving ceiling a PCIe host approaches
+            for mode in (("host_direct", "host_queue") if on_cpu else
+                         ("host_direct", "host_queue",
+                          "dev_direct", "dev_queue")):
                 curve.append(run_cell(mode, streams, per_stream))
         out_path = os.path.join(os.path.dirname(__file__), "results",
                                 "bench_serve_r5.json")

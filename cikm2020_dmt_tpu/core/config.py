@@ -362,10 +362,16 @@ class DMTConfig:
     # accumulates its segment-sum in f32.  ON by default since the
     # round-3 on-chip A/B: 83.1k -> 89.4k ex/s (+7.6%) on the flagship
     # step (TPU v5e, batch 4096), with the full demo chain reproducing
-    # the f32 artifact's test AUCs to 4 decimals (PARITY.md).  Pair with
-    # lazy_adam: the dense optax path would lose small updates to bf16
-    # `param += tiny` rounding.  0 disables.
-    table_bf16_threshold: int = 1_000_000
+    # the f32 artifact's test AUCs to 4 decimals (PARITY.md).  Default
+    # 500 since round 5: bf16 storage for the SMALL tables too measured
+    # 39.8 -> 36.8 ms/step device-op sum (96.5k -> 104.2k ex/s wall —
+    # the sequence grids and their cotangent traffic are where the f32
+    # bytes were), held-out quality inside the seed band
+    # (PARITY.md round-5).  Dense-path bf16 tables get f32 optimizer
+    # math via train/optim.f32_math (moments + update arithmetic f32,
+    # one bf16 rounding at the parameter write — the same contract as
+    # the lazy path).  0 disables.
+    table_bf16_threshold: int = 500
     # hybrid storage for the lazily-managed big tables: keep the TABLE
     # f32 (so the write-back rides the per-row DMA kernel — Mosaic can
     # only row-slice 32-bit 128-lane HBM memrefs) but round the gathered

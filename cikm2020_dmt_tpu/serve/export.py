@@ -234,20 +234,29 @@ class Scorer:
 
         self._fn = jax.jit(score_fn)
 
-        def score_group_fn(params, mstate, batch, n_req: int):
+        def score_group_fn(params, mstate, parts, n_req: int):
             """Score n_req stacked requests in ONE executable launch.
 
-            i-side arrays arrive request-concatenated ([n_req * B, ...]);
-            u-side arrays arrive one row per request ([n_req, ...]) and
-            repeat in-graph to their request's B candidate rows — the
-            multi-user generalization of the reference's in-graph tiling
-            (export_model.py:58-99).  One dispatch amortizes the
-            per-launch overhead that binds serving throughput when
-            requests are dispatched one at a time (VERDICT r4 weak #3)."""
-            n_rows = batch["valid"].shape[0]
+            ``parts`` is a tuple of per-request dicts (device-resident
+            path: XLA concatenates in-graph, so the whole group is ONE
+            dispatch) or a 1-tuple holding the pre-merged dict (host
+            path: the merge already happened host-side so each key
+            crosses the link once).  i-side arrays are request-
+            concatenated ([n_req * B, ...]); u-side arrays carry one row
+            per request ([n_req, ...]) and repeat in-graph to their
+            request's B candidate rows — the multi-user generalization
+            of the reference's in-graph tiling (export_model.py:58-99).
+            One dispatch amortizes the per-launch overhead that binds
+            serving throughput when requests go one at a time (VERDICT
+            r4 weak #3)."""
+            if len(parts) == 1:
+                b = dict(parts[0])
+            else:
+                b = {k: jnp.concatenate([p[k] for p in parts], axis=0)
+                     for k in parts[0]}
+            n_rows = b["valid"].shape[0]
             per = n_rows // n_req
-            b = dict(batch)
-            b["features"] = normalize_dense(batch["raw_features"],
+            b["features"] = normalize_dense(b["raw_features"],
                                             self.scale, self.const_vec)
             for k in self.uside:
                 v = b.get(k)
@@ -286,11 +295,23 @@ class Scorer:
         n_req = len(batches)
         if n_req == 1:
             return self.score_async(batches[0])
-        merged = {}
-        for k in batches[0]:
-            parts = [np.asarray(b[k]) for b in batches]
-            merged[k] = jnp.asarray(np.concatenate(parts, axis=0))
-        return self._group_fn(self.params, self.model_state, merged, n_req)
+        device_resident = all(
+            isinstance(v, jax.Array) for b in batches for v in b.values())
+        if device_resident:
+            # device-staged requests: ship the tuple straight into the
+            # jit — XLA concatenates in-graph and the whole group costs
+            # ONE launch (a host round-trip or per-key concat dispatches
+            # would re-pay what the caller already staged)
+            return self._group_fn(self.params, self.model_state,
+                                  tuple(dict(b) for b in batches), n_req)
+        # host requests: merge host-side so each key crosses the link
+        # once (per-part transfers are what the queue is amortizing away
+        # on tunneled/remote links)
+        merged = {k: np.concatenate([np.asarray(b[k]) for b in batches],
+                                    axis=0)
+                  for k in batches[0]}
+        return self._group_fn(self.params, self.model_state, (merged,),
+                              n_req)
 
 
 def quantize_table(table: np.ndarray) -> dict:

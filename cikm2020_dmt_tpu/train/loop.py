@@ -199,11 +199,16 @@ class Trainer:
             loose = {t for t, rows in sizes.items()
                      if rows >= cfg.table_bf16_threshold
                      and t not in lazy_names}
-            if loose:
-                log_line(f"WARNING: bf16 tables {sorted(loose)} are not "
-                         "lazy-Adam managed (table_bf16_threshold should "
-                         "pair with lazy_adam); small updates may round "
-                         "to zero in the dense optax path")
+            if loose and cfg.optimizer.lower() != "adam":
+                # adam routes through train/optim.f32_math (f32 moments
+                # + f32 update arithmetic, one bf16 rounding at the
+                # param write — the lazy path's contract); the other
+                # optimizers keep low-precision state for bf16 params
+                log_line(f"WARNING: bf16 tables {sorted(loose)} use the "
+                         f"dense {cfg.optimizer} path with bf16 "
+                         "optimizer state; small updates may round to "
+                         "zero (pair table_bf16_threshold with "
+                         "lazy_adam, or use adam)")
         self._schedule = piecewise_constant(cfg.step_boundary,
                                             cfg.learning_rate)
         self.loss_fn = make_loss_fn(cfg, self.model)

@@ -82,6 +82,37 @@ def ftrl(learning_rate, learning_rate_power: float = -0.5,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def f32_math(base: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Run ``base`` in float32 for low-precision parameter leaves.
+
+    Moments initialize and accumulate in f32, gradients upcast before
+    the update math, and the computed update downcasts to the param
+    dtype only at the very end — so bf16-STORED tables pay exactly one
+    bf16 rounding per step (at the parameter write), matching the lazy
+    path's "bf16 storage, f32 update math" scheme.  Identity for f32
+    params (their moments were f32 already), so optimizer state for
+    existing f32-only checkpoints is unchanged."""
+    import jax
+
+    def up32(t):
+        return (t.astype(jnp.float32)
+                if hasattr(t, "dtype") and t.dtype in (jnp.bfloat16,
+                                                       jnp.float16)
+                else t)
+
+    def init_fn(params):
+        return base.init(jax.tree_util.tree_map(up32, params))
+
+    def update_fn(grads, state, params=None):
+        g32 = jax.tree_util.tree_map(up32, grads)
+        updates, state = base.update(g32, state, params)
+        updates = jax.tree_util.tree_map(
+            lambda u, g: u.astype(g.dtype), updates, grads)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: DMTConfig) -> optax.GradientTransformation:
     schedule = piecewise_constant(cfg.step_boundary, cfg.learning_rate)
     name = cfg.optimizer.lower()
@@ -93,8 +124,15 @@ def make_optimizer(cfg: DMTConfig) -> optax.GradientTransformation:
         # tf.train.AdagradOptimizer default initial accumulator 0.1
         return optax.adagrad(schedule, initial_accumulator_value=0.1)
     if name == "adam":
-        # TF1 AdamOptimizer defaults: b1=0.9 b2=0.999 eps=1e-8
-        return optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
+        # TF1 AdamOptimizer defaults: b1=0.9 b2=0.999 eps=1e-8.
+        # f32_math: bf16-stored dense tables (table_bf16_threshold) get
+        # f32 moments + f32 update arithmetic with ONE bf16 rounding at
+        # the parameter write — the same contract as the lazy-Adam path
+        # for big tables, whose quality the r3 ladder validated.  Plain
+        # optax.adam would keep bf16 moments and round every
+        # intermediate (the dense-path hazard the Trainer used to warn
+        # about).  No-op for f32 params.
+        return f32_math(optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8))
     if name == "ftrl":
         return ftrl(schedule)
     if name == "rmsprop":

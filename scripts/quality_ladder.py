@@ -49,8 +49,40 @@ RUNGS = {
 BASELINE_RUNGS = ("lr", "wnd", "dcn", "din", "dien")
 
 
+HOLDOUT_DATA = "/root/reference/jd_recsys_demo/*/test_ord/*/data/"
+HOLDOUT_TRAIN = HOLDOUT_DATA + "part-r-00000*"
+HOLDOUT_TEST = HOLDOUT_DATA + "part-r-00001*"
+
+
+def exact_auc_from_detail(out_dir: str) -> dict:
+    """Exact sklearn per-head AUC from the predict detail dump (header +
+    p_clk + p_ord per row, mask-label convention).  The device streaming
+    histogram (200 thresholds, tf.metrics parity) is degenerate when
+    scores sit below 1/200 — which held-out sigmoid outputs do."""
+    import glob
+
+    import numpy as np
+    from sklearn.metrics import roc_auc_score
+
+    paths = glob.glob(os.path.join(out_dir, "*.test_result_*_rel.detail"))
+    assert paths, f"no detail dump under {out_dir}"
+    labels, p_clk, p_ord = [], [], []
+    with open(max(paths, key=os.path.getmtime)) as f:
+        for line in f:
+            fields = line.rstrip("\n").split("\t")
+            labels.append(int(fields[9]))
+            p_clk.append(float(fields[-2]))
+            p_ord.append(float(fields[-1]))
+    lab = np.asarray(labels)
+    out = {"click": float(roc_auc_score((lab > 0).astype(int), p_clk))}
+    y_ord = (lab >= 4).astype(int)
+    if 0 < y_ord.sum() < len(y_ord):
+        out["order"] = float(roc_auc_score(y_ord, p_ord))
+    return out
+
+
 def run_rung(rung, conf: str, steps: int | None, seed: int,
-             model_type: str | None = None) -> dict:
+             model_type: str | None = None, holdout: bool = False) -> dict:
     from cikm2020_dmt_tpu.core.config import DMTConfig
     from cikm2020_dmt_tpu.train.evaluate import predict
     from cikm2020_dmt_tpu.train.loop import Trainer
@@ -64,6 +96,16 @@ def run_rung(rung, conf: str, steps: int | None, seed: int,
         overrides["model_type"] = model_type
     if steps:
         overrides["max_iter_step"] = steps
+    if holdout:
+        # generalization split (scripts/parity_holdout.py protocol):
+        # train shard 0, test shard 1, epoch budget pinned high so
+        # max_iter_step binds on the halved stream
+        overrides.update(
+            train_data_path=HOLDOUT_TRAIN,
+            validation_data_path=HOLDOUT_TRAIN,
+            test_data_path=HOLDOUT_TEST,
+            test_data_path_ord=HOLDOUT_TEST,
+            epoch_num=10**6)
     cfg = dataclasses.replace(cfg, **overrides)
 
     trainer = Trainer(cfg)
@@ -82,6 +124,8 @@ def run_rung(rung, conf: str, steps: int | None, seed: int,
         "model_type": cfg.model_type,
         "steps": final_step,
         "seed": seed,
+        "holdout": holdout,
+        "test_exact_auc": exact_auc_from_detail(out_dir),
         "train_examples_per_s": round(final_step * cfg.batch_size / train_s, 1),
         "train_streaming": {k: float(v) for k, v in train_vals.items()},
         "test_streaming": {k: float(v) for k, v in r["streaming"].items()},
@@ -98,6 +142,9 @@ def main(argv=None) -> None:
     ap.add_argument("--steps", type=int, default=0,
                     help="override max_iter_step (0 = conf value)")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--holdout", action="store_true",
+                    help="train shard 0 / test shard 1 (generalization "
+                         "split; AUC is far from saturation there)")
     ap.add_argument("--out", default="out/quality_ladder.json")
     args = ap.parse_args(argv)
 
@@ -113,7 +160,7 @@ def main(argv=None) -> None:
         print(f"=== rung {rung}: {conf}"
               f"{' model_type=' + mt if mt else ''} ===", flush=True)
         row = run_rung(rung, conf, args.steps or None, args.seed,
-                       model_type=mt)
+                       model_type=mt, holdout=args.holdout)
         print(json.dumps(row), flush=True)
         rows.append(row)
 
@@ -122,13 +169,17 @@ def main(argv=None) -> None:
         json.dump(rows, f, indent=1)
 
     print("\n| rung | model | steps | test AUC clk | test AUC ord "
-          "| grouped AUC clk | train ex/s (CPU) |")
-    print("|---|---|---|---|---|---|---|")
+          "| exact clk | exact ord | grouped AUC clk | train ex/s (CPU) |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         oa = r["test_overall_auc"]
         ga = r["test_grouped_auc"]
+        ex = r.get("test_exact_auc", {})
+        exc = f"{ex['click']:.4f}" if "click" in ex else "-"
+        exo = f"{ex['order']:.4f}" if "order" in ex else "-"
         print(f"| {r['rung']} | {r['model_type']} | {r['steps']} "
               f"| {oa['click']:.4f} | {oa['order']:.4f} "
+              f"| {exc} | {exo} "
               f"| {ga.get('2', ga.get('click', 0)):.4f} "
               f"| {r['train_examples_per_s']} |")
 

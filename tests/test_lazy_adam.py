@@ -19,7 +19,11 @@ from cikm2020_dmt_tpu.ops.scatter_rows import dedup_take_exact
 from cikm2020_dmt_tpu.train.loop import Trainer
 
 KW = dict(sku_rows=4096, batch_size=64, validate_step=10**9,
-          dedup_rows_threshold=1000, pack_rows_threshold=1000)
+          dedup_rows_threshold=1000, pack_rows_threshold=1000,
+          # algorithm-parity tests compare against f32 oracles; pin
+          # storage to f32 (the r5 default bf16-ifies every >=500-row
+          # table — dtype variants are exercised by their own tests)
+          table_bf16_threshold=0)
 
 
 def one_dev_mesh():
@@ -350,8 +354,39 @@ class TestBf16Tables:
                               jax.random.fold_in(rng, 0))
         assert float(loss16) == pytest.approx(float(loss32), rel=2e-2)
 
+    def test_f32_math_wrapper(self):
+        """Dense-path adam on bf16 params: moments live in f32, the
+        update math runs f32, and only the returned update is rounded
+        to the param dtype (train/optim.f32_math)."""
+        import optax
+
+        from cikm2020_dmt_tpu.train.optim import f32_math
+
+        opt = f32_math(optax.adam(1e-3))
+        params = {"w": jnp.full((4, 8), 0.5, jnp.bfloat16),
+                  "v": jnp.zeros((3,), jnp.float32)}
+        state = opt.init(params)
+        mus = jax.tree_util.tree_leaves(state[0].mu)
+        assert all(m.dtype == jnp.float32 for m in mus), mus
+        grads = {"w": jnp.full((4, 8), 1e-4, jnp.bfloat16),
+                 "v": jnp.ones((3,), jnp.float32)}
+        updates, state = opt.update(grads, state, params)
+        assert updates["w"].dtype == jnp.bfloat16
+        assert updates["v"].dtype == jnp.float32
+        # adam's first normalized step is ~lr regardless of grad scale
+        assert np.all(np.abs(np.asarray(updates["w"],
+                                        np.float32)) > 1e-4)
+
     def test_warns_without_lazy_plan(self, capsys):
+        # adam: no warning — dense bf16 tables run through
+        # train/optim.f32_math (f32 moments + update arithmetic, one
+        # bf16 rounding at the param write, same as the lazy contract)
         cfg = g._demo_config(lazy_adam=False, **self.BKW)
+        Trainer(cfg, mesh=one_dev_mesh())
+        assert "bf16 tables" not in capsys.readouterr().out
+        # non-adam optimizers keep low-precision state -> still warn
+        cfg = g._demo_config(lazy_adam=False, optimizer="adagrad",
+                             **self.BKW)
         Trainer(cfg, mesh=one_dev_mesh())
         assert "bf16 tables" in capsys.readouterr().out
 
