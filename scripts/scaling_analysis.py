@@ -7,7 +7,7 @@ MEASURED quantities into an explicit analytic projection:
     measured:  per-step collective bytes of the compiled flagship step,
                by mesh axis (parsed from the GSPMD HLO's replica_groups
                on an 8-virtual-device mesh at production per-chip batch);
-               39.2 ms single-chip step time (r4 device-op sum, TPU v5e).
+               36.8 ms single-chip step time (r5 device-op sum, TPU v5e).
     model:     ring all-reduce / all-gather cost on the mesh axis the
                collective actually rides, with public TPU v5e link
                numbers (jax-ml.github.io/scaling-book: ICI ~4.5e10 B/s
@@ -26,7 +26,7 @@ Run:  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
         XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python scripts/scaling_analysis.py
 
-Writes results/scaling_analysis_r4.json and prints the PARITY.md table.
+Writes results/scaling_analysis_r5.json and prints the PARITY.md table.
 """
 
 from __future__ import annotations
@@ -50,8 +50,8 @@ from collective_bytes import shape_bytes  # noqa: E402  (sibling script)
 ICI_BW = 4.5e10          # bytes/s per link per direction
 DCN_BW_HOST = 2.5e10     # bytes/s per host
 CHIPS_PER_HOST = 8
-T_COMPUTE_MS = 39.2      # measured: r4 shipped step @4096 (device-op sum,
-                         # results/trace_decomposition_r4.txt; was 45.3 in r3)
+T_COMPUTE_MS = 36.8      # measured: r5 shipped step @4096 (device-op sum,
+                         # results/trace_decomposition_r5.txt; 39.2 r4, 45.3 r3)
 
 _OP_RE = re.compile(
     r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(\([^)]*\)|\S+)\s+"
@@ -335,9 +335,9 @@ def main() -> None:
     out["projection"] = table
 
     os.makedirs("results", exist_ok=True)
-    with open("results/scaling_analysis_r4.json", "w") as f:
+    with open("results/scaling_analysis_r5.json", "w") as f:
         json.dump(out, f, indent=1)
-    print("\nwrote results/scaling_analysis_r4.json")
+    print("\nwrote results/scaling_analysis_r5.json")
 
 
 if __name__ == "__main__":
