@@ -295,6 +295,14 @@ class Scorer:
         n_req = len(batches)
         if n_req == 1:
             return self.score_async(batches[0])
+        sizes = {int(b["valid"].shape[0]) for b in batches}
+        if len(sizes) != 1:
+            # uneven groups would silently mis-slice (the kernel splits
+            # the row block evenly by n_req); pad thin candidate sets on
+            # the client instead
+            raise ValueError(
+                f"score_group_async needs equal candidate counts per "
+                f"request, got {sorted(sizes)}")
         device_resident = all(
             isinstance(v, jax.Array) for b in batches for v in b.values())
         if device_resident:
