@@ -281,7 +281,7 @@ def main() -> None:
             for t in threads:
                 t.join()
             wall = time.perf_counter() - t0
-            if mode == "queue":
+            if kind == "queue":
                 q.close()
             flat = np.asarray([x for ls in lats for x in ls])
             row = {"mode": mode, "streams": streams,
@@ -305,8 +305,11 @@ def main() -> None:
                          ("host_direct", "host_queue",
                           "dev_direct", "dev_queue")):
                 curve.append(run_cell(mode, streams, per_stream))
+        # the committed artifact is the TPU measurement PARITY.md cites;
+        # CPU runs are a plumbing smoke and must not overwrite it
+        suffix = "" if jax.default_backend() != "cpu" else "_cpu_smoke"
         out_path = os.path.join(os.path.dirname(__file__), "results",
-                                "bench_serve_r5.json")
+                                f"bench_serve_r5{suffix}.json")
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         with open(out_path, "w") as f:
             json.dump({

@@ -580,6 +580,15 @@ def _block_size_bwd(B: int) -> int:
         return fwd
     nb = int(v)
     if nb % _CHUNK or fwd % _CHUNK or B % nb:
+        # LOUD fallback: a silently ignored override is the dead-flag
+        # artifact class that already produced one wrong conclusion
+        # (CLAUDE.md, r3 "DMA opt-ins neutral")
+        import warnings
+        warnings.warn(
+            f"DMT_BLOCK_NB_BWD={nb} rejected (needs a multiple of "
+            f"{_CHUNK} that divides B={B}, with fwd nb {fwd} also a "
+            f"multiple of {_CHUNK}); backward uses nb={fwd}",
+            stacklevel=2)
         return fwd
     return nb
 

@@ -47,6 +47,7 @@ class ScorerQueue:
         self.max_group = max_group
         self._q: queuelib.Queue = queuelib.Queue()
         self._closed = False
+        self._lock = threading.Lock()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="dmt-scorer-queue")
         self._thread.start()
@@ -60,14 +61,23 @@ class ScorerQueue:
 
     def submit(self, batch: dict) -> Future:
         """Queue one request; resolves to {"Scores": np[B], ...}."""
-        assert not self._closed, "queue closed"
         fut: Future = Future()
-        self._q.put((batch, fut))
+        # the lock serializes submit against close: without it a submit
+        # that passed the closed-check could enqueue after the dispatcher
+        # consumed the shutdown sentinel, leaving a future that never
+        # resolves (client hangs forever in fut.result())
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("ScorerQueue is closed")
+            self._q.put((batch, fut))
         return fut
 
     def close(self) -> None:
-        self._closed = True
-        self._q.put(None)
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)
         self._thread.join()
 
     # ------------------------------------------------------------------
@@ -107,7 +117,14 @@ class ScorerQueue:
                     sl = {k: v[i * per:(i + 1) * per]
                           for k, v in out.items()}
                     fut.set_result(sl)
-            except Exception as e:  # noqa: BLE001 — propagate per-request
-                for _, fut in group:
-                    if not fut.done():
-                        fut.set_exception(e)
+            except Exception:  # noqa: BLE001
+                # one malformed request (e.g. a mismatched candidate
+                # count) must not fail its co-batched neighbors: retry
+                # each request individually and fail only the offender
+                for b, fut in group:
+                    if fut.done():
+                        continue
+                    try:
+                        fut.set_result(self.scorer.score_async(b))
+                    except Exception as e2:  # noqa: BLE001
+                        fut.set_exception(e2)

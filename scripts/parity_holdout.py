@@ -32,6 +32,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))  # quality_ladder import
 
 DATA = "/root/reference/jd_recsys_demo/*/test_ord/*/data/"
 TRAIN_SHARD = DATA + "part-r-00000*"
@@ -77,22 +78,10 @@ def run_ours(seed: int, steps: int) -> dict:
     # scores sit below 1/200, which is exactly what unseen-data sigmoid
     # outputs do here (~1e-6); the histogram number is therefore NOT
     # comparable to the oracle's sklearn number on this split.
-    from sklearn.metrics import roc_auc_score
-    detail = os.path.join(
-        out_dir, f"dmt_demo.ckpt-{final_step}.test_result_ord_rel.detail")
-    labels, p_clk, p_ord = [], [], []
-    with open(detail) as f:
-        for line in f:
-            fields = line.rstrip("\n").split("\t")
-            labels.append(int(fields[9]))
-            p_clk.append(float(fields[-2]))
-            p_ord.append(float(fields[-1]))
-    import numpy as np
-    lab = np.asarray(labels)
-    y_clk = (lab > 0).astype(int)       # mask classes {1,2,4,5}
-    y_ord = (lab >= 4).astype(int)      # mask classes {4,5}
-    exact = {"click": float(roc_auc_score(y_clk, p_clk)),
-             "order": float(roc_auc_score(y_ord, p_ord))}
+    # (Shared parser: quality_ladder.exact_auc_from_detail — mask-label
+    # convention, single-class guards.)
+    from quality_ladder import exact_auc_from_detail
+    exact = exact_auc_from_detail(out_dir)
 
     return {
         "side": "ours", "seed": seed, "steps": final_step,
@@ -103,7 +92,6 @@ def run_ours(seed: int, steps: int) -> dict:
         "overall_auc": {k: float(v) for k, v in r["overall_auc"].items()},
         "grouped_auc": {str(k): float(v)
                         for k, v in r["grouped_auc"].items()},
-        "n": int(lab.shape[0]),
     }
 
 
@@ -134,8 +122,13 @@ def _spread(rows, path):
     for r in rows:
         v = r
         for k in path:
-            v = v[k]
-        vals.append(float(v))
+            v = v.get(k) if isinstance(v, dict) else None
+            if v is None:
+                break
+        if v is not None:
+            vals.append(float(v))
+    if not vals:
+        return {"mean": None, "min": None, "max": None, "n": 0}
     return {"mean": round(sum(vals) / len(vals), 6),
             "min": round(min(vals), 6), "max": round(max(vals), 6)}
 

@@ -74,10 +74,13 @@ def exact_auc_from_detail(out_dir: str) -> dict:
             p_clk.append(float(fields[-2]))
             p_ord.append(float(fields[-1]))
     lab = np.asarray(labels)
-    out = {"click": float(roc_auc_score((lab > 0).astype(int), p_clk))}
-    y_ord = (lab >= 4).astype(int)
-    if 0 < y_ord.sum() < len(y_ord):
-        out["order"] = float(roc_auc_score(y_ord, p_ord))
+    out = {}
+    # single-class guard on BOTH heads: a split with no positives for a
+    # head must not crash an otherwise-complete multi-run harness
+    for name, y, p in (("click", (lab > 0).astype(int), p_clk),
+                       ("order", (lab >= 4).astype(int), p_ord)):
+        if 0 < y.sum() < len(y):
+            out[name] = float(roc_auc_score(y, p))
     return out
 
 

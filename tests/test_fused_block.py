@@ -160,7 +160,7 @@ class TestFusedBlock:
         block size than the forward (different VMEM envelopes).  With
         dropout off the gradients must be bit-identical to the default
         split; the dropout-active mask invariance (example-chunked PRNG
-        seeding) is hardware-verified in scripts/block_nb_sweep_tpu.py
+        seeding) is hardware-verified in scripts/block_nb_verify_tpu.py
         because the Mosaic CPU interpreter's PRNG returns constant
         bits."""
         tc = _tc()
