@@ -1,14 +1,18 @@
-"""Multi-host smoke test: 2 processes x 4 virtual CPU devices.
+"""Multi-host smoke test: N processes x (8/N) virtual CPU devices.
 
 Validates the jax.distributed bring-up + per-host input sharding + global
 mesh training path without TPU pod hardware:
 
     python scripts/multihost_smoke.py            # launcher
-    (spawns itself twice with --process_id 0/1)
+    (spawns itself SMOKE_NPROC times with --process_id 0..N-1)
 
-Each process builds the global (data=4, model=2) mesh over all 8 devices,
-reads its own file shard (data/pipeline.shard_files by process_index), and
-runs a few sharded train steps; process 0 prints the verdict.
+Each process builds the SAME global (data=4, model=2) mesh over all 8
+devices and runs a few sharded train steps; process 0 prints the verdict.
+SMOKE_NPROC (default 2; 4 puts only 2 devices on each process, so the
+full-mesh all_to_all crosses process boundaries in every group — the
+multi-group DCN shape).  The global program is identical for every
+NPROC, so losses must agree across process topologies
+(tests/test_multihost.py asserts this).
 """
 
 from __future__ import annotations
@@ -18,20 +22,22 @@ import subprocess
 import sys
 
 PORT = 12355
-NPROC = 2
+NPROC = int(os.environ.get("SMOKE_NPROC", "2"))
+N_DEVICES = 8
 
 
 def worker(process_id: int) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
+    per_proc = N_DEVICES // NPROC
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=4").strip()
+        + f" --xla_force_host_platform_device_count={per_proc}").strip()
     import jax
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{PORT}",
         num_processes=NPROC, process_id=process_id)
     assert jax.process_count() == NPROC
-    assert jax.device_count() == NPROC * 4, jax.device_count()
+    assert jax.device_count() == N_DEVICES, jax.device_count()
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     import __graft_entry__ as g
@@ -40,7 +46,7 @@ def worker(process_id: int) -> None:
     from cikm2020_dmt_tpu.train.loop import Trainer
 
     cfg = g._demo_config(
-        sku_rows=1024, batch_size=32, mesh_model=2, mesh_data=4,
+        sku_rows=1024, batch_size=64, mesh_model=2, mesh_data=4,
         shard_rows_threshold=512, validate_step=10**9,
         dedup_rows_threshold=1000,  # lazy plan covers the row-split Sku
         hidden_units_bottom=(64, 32), hidden_units_task=(16,),
@@ -57,16 +63,22 @@ def worker(process_id: int) -> None:
         "smoke should exercise a distributed lazy-Adam update"
     tstate = trainer.shard_state(trainer.init_state())
     step_fn = trainer._train_step()
-    # per-host batch half: each process supplies its shard of the global batch
+    # ONE fixed 64-row global batch regardless of process count: every
+    # process regenerates it (seed 0) and supplies its own slice, so the
+    # global program — and therefore the loss — is identical for any
+    # SMOKE_NPROC (the cross-topology assertion in tests/test_multihost)
     batch = g.synthetic_batch(cfg, cfg.batch_size, seed=0)
+    per = cfg.batch_size // NPROC
+    lo = process_id * per
 
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def put_global(arr):
-        # build the globally-sharded array from this host's local shard
+        # build the globally-sharded array from this host's local slice
         sh = NamedSharding(mesh, P("data"))
-        return jax.make_array_from_process_local_data(sh, np.asarray(arr))
+        return jax.make_array_from_process_local_data(
+            sh, np.asarray(arr)[lo:lo + per])
 
     dev_batch = {k: put_global(v) for k, v in batch.items()}
     metrics = task_metrics_init()

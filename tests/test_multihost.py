@@ -32,11 +32,12 @@ SMOKE = os.path.join(os.path.dirname(__file__), "..", "scripts",
                      "multihost_smoke.py")
 
 
-def _run_smoke(fms_bf16: bool) -> dict:
+def _run_smoke(fms_bf16: bool, nproc: int = 2) -> dict:
     env = {k: v for k, v in os.environ.items()
            if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS",
                         "XLA_FLAGS")}
     env["SMOKE_FMS_BF16"] = "1" if fms_bf16 else ""
+    env["SMOKE_NPROC"] = str(nproc)
     out = subprocess.run(
         [sys.executable, SMOKE], env=env, timeout=600,
         capture_output=True, text=True)
@@ -76,7 +77,7 @@ def test_multihost_matches_single_process(smoke_f32):
     from cikm2020_dmt_tpu.train.loop import Trainer
 
     cfg = g._demo_config(
-        sku_rows=1024, batch_size=32, mesh_model=2, mesh_data=4,
+        sku_rows=1024, batch_size=64, mesh_model=2, mesh_data=4,
         shard_rows_threshold=512, validate_step=10**9,
         dedup_rows_threshold=1000,
         hidden_units_bottom=(64, 32), hidden_units_task=(16,))
@@ -84,12 +85,12 @@ def test_multihost_matches_single_process(smoke_f32):
     trainer = Trainer(cfg, mesh=mesh)
     tstate = trainer.shard_state(trainer.init_state())
     step_fn = trainer._train_step()
-    # global batch = both workers' identical seed-0 local halves,
-    # concatenated in process order (process 0 owns data groups 0-1)
-    local = g.synthetic_batch(cfg, cfg.batch_size, seed=0)
+    # the smoke's fixed seed-0 global batch (every worker regenerates it
+    # and ships its slice; here one process owns all of it)
+    gbatch = g.synthetic_batch(cfg, cfg.batch_size, seed=0)
     sh = NamedSharding(mesh, P("data"))
-    dev_batch = {k: jax.device_put(np.concatenate([v, v], axis=0), sh)
-                 for k, v in local.items()}
+    dev_batch = {k: jax.device_put(np.asarray(v), sh)
+                 for k, v in gbatch.items()}
     metrics = task_metrics_init()
     for i in range(3):
         tstate, metrics, loss = step_fn(
@@ -98,6 +99,16 @@ def test_multihost_matches_single_process(smoke_f32):
     # rtol only guards cross-process collective reduction-order noise;
     # in practice this has been observed bit-exact
     np.testing.assert_allclose(float(loss), smoke_f32["loss"], rtol=1e-4)
+
+
+def test_multihost_4proc_topology_invariant(smoke_f32):
+    """4 processes x 2 devices run the SAME global program as 2 x 4 —
+    with only 2 local devices per process, every full-mesh all_to_all
+    group crosses a process boundary (the multi-group DCN shape).  The
+    loss must match the 2-process run."""
+    r = _run_smoke(fms_bf16=False, nproc=4)
+    assert r["processes"] == 4 and r["devices"] == 8
+    np.testing.assert_allclose(r["loss"], smoke_f32["loss"], rtol=1e-4)
 
 
 def test_multihost_fms_grad_bf16(smoke_f32):
