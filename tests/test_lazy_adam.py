@@ -377,6 +377,34 @@ class TestBf16Tables:
         assert np.all(np.abs(np.asarray(updates["w"],
                                         np.float32)) > 1e-4)
 
+    def test_dense_bf16_table_trains(self):
+        """End-to-end: with lazy Adam OFF, a bf16-stored table updates
+        through the dense optax path — moments live in f32 (f32_math)
+        and the table actually moves over steps (the round-to-zero
+        hazard the wrapper exists to prevent)."""
+        cfg = g._demo_config(lazy_adam=False, **self.BKW)
+        tr = Trainer(cfg, mesh=one_dev_mesh())
+        ts = tr.shard_state(tr.init_state())
+        sku0 = np.asarray(ts["params"]["emb"]["Sku"], np.float32).copy()
+        assert ts["params"]["emb"]["Sku"].dtype == jnp.bfloat16
+        # optax state must carry f32 moments for the bf16 leaf
+        leaves = jax.tree_util.tree_leaves(ts["opt_state"])
+        assert all(l.dtype != jnp.bfloat16 for l in leaves
+                   if hasattr(l, "dtype") and l.ndim == 2), [
+            (l.shape, l.dtype) for l in leaves if hasattr(l, "dtype")]
+        step = tr._train_step()
+        batch = tr.device_batch(g._as_batch(g.synthetic_batch(cfg, 64)))
+        rng = jax.random.key(0, impl="rbg")
+        for i in range(2):
+            ts, _, loss = step(ts, task_metrics_init(), batch,
+                               jax.random.fold_in(rng, i))
+        assert np.isfinite(float(loss))
+        sku1 = np.asarray(ts["params"]["emb"]["Sku"], np.float32)
+        moved = np.mean(np.any(sku1 != sku0, axis=1))
+        # the synthetic batch touches a fraction of rows; those rows
+        # must have moved (adam's first step is ~lr per weight)
+        assert moved > 0.001, f"bf16 dense table barely moved: {moved}"
+
     def test_warns_without_lazy_plan(self, capsys):
         # adam: no warning — dense bf16 tables run through
         # train/optim.f32_math (f32 moments + update arithmetic, one
